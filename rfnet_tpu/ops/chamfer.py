@@ -1,0 +1,142 @@
+"""Bidirectional nearest-neighbour distance (the Chamfer kernel).
+
+TPU-native equivalent of the reference ``NnDistance`` CUDA op
+(`pc_distance/tf_nndistance.cu:5-127` forward, `:169-194` backward; Python
+contract `pc_distance/tf_nndistance.py:7-30`):
+
+    nn_distance(xyz1 (b,n,3), xyz2 (b,m,3))
+        -> dist1 (b,n)  squared distance to the nearest point of xyz2
+           idx1  (b,n)  int32 argmin index into xyz2
+           dist2 (b,m), idx2 (b,m)  the symmetric direction
+
+The reference tiles xyz2 through 512-point shared-memory chunks with an
+unrolled min-scan; the TPU design instead computes each distance tile as an
+MXU matmul (``d² = |x|² + |y|² − 2·x·yᵀ``) with fp32-accurate precision and a
+running min/argmin, chunked over the n axis so the live tile stays small. The
+backward pass mirrors the reference's hand-written gradient kernel
+(`tf_nndistance.cpp:130-163`): ``∂dist/∂x = 2(x1 − x2[idx])`` routed through
+the saved argmin indices, scatter-added on the opposite cloud (the TPU
+scatter-add plays the role of the CUDA ``atomicAdd``).
+
+On TPU backends with large point counts a Pallas kernel
+(:mod:`rfnet_tpu.ops.pallas.chamfer`) performs the same tiled scan entirely in
+VMEM; dispatch is automatic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Rows of xyz1 processed per tile. Chosen so a (CHUNK, m) fp32 tile stays a
+# few MB even at m = 16384 (the dense output size of the flagship model).
+_CHUNK = 256
+
+
+def _pairwise_sq_dists(x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """Squared pairwise distances (b, n, m) via an MXU-friendly expansion."""
+    # fp32-exact matmul: point coordinates are O(1) so the |x|²+|y|²−2x·y
+    # expansion at HIGHEST precision is accurate to ~1e-7 absolute, well
+    # inside the tolerance of the loss (see tests/test_chamfer.py).
+    s1 = jnp.sum(x1 * x1, axis=-1)  # (b, n)
+    s2 = jnp.sum(x2 * x2, axis=-1)  # (b, m)
+    cross = lax.dot_general(
+        x1,
+        x2,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (b, n, m)
+    d2 = s1[:, :, None] + s2[:, None, :] - 2.0 * cross
+    return jnp.maximum(d2, 0.0)
+
+
+def _one_sided(x1: jax.Array, x2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """min/argmin squared distance from every x1 point into x2.
+
+    Chunks the n axis so the transient (chunk, m) tile is bounded; `lax.map`
+    keeps one compiled body regardless of n.
+    """
+    b, n, _ = x1.shape
+    chunk = min(_CHUNK, n)
+    n_pad = -(-n // chunk) * chunk
+    x1p = jnp.pad(x1, ((0, 0), (0, n_pad - n), (0, 0)))
+    tiles = x1p.reshape(b, n_pad // chunk, chunk, 3).transpose(1, 0, 2, 3)
+
+    def tile_min(xc):  # xc: (b, chunk, 3)
+        d2 = _pairwise_sq_dists(xc, x2)  # (b, chunk, m)
+        return jnp.min(d2, axis=-1), jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+    dist_t, idx_t = lax.map(tile_min, tiles)  # (k, b, chunk)
+    dist = dist_t.transpose(1, 0, 2).reshape(b, n_pad)[:, :n]
+    idx = idx_t.transpose(1, 0, 2).reshape(b, n_pad)[:, :n]
+    return dist, idx
+
+
+def _nn_distance_fwd_impl(xyz1, xyz2):
+    if jax.default_backend() == "tpu":
+        # Pallas path: single-pass VMEM min/argmin scan, no (n, m) tile in HBM.
+        from rfnet_tpu.ops.pallas.chamfer import nn_distance_pallas
+
+        try:
+            d1, i1 = nn_distance_pallas(xyz1, xyz2)
+            d2, i2 = nn_distance_pallas(xyz2, xyz1)
+            return d1, i1, d2, i2
+        except Exception:  # pragma: no cover - fallback if shapes unsupported
+            pass
+    d1, i1 = _one_sided(xyz1, xyz2)
+    d2, i2 = _one_sided(xyz2, xyz1)
+    return d1, i1, d2, i2
+
+
+@jax.custom_vjp
+def nn_distance(xyz1: jax.Array, xyz2: jax.Array):
+    """Squared NN distances + argmin indices in both directions.
+
+    Matches the reference op contract (`pc_distance/tf_nndistance.py:7-17`).
+    """
+    return _nn_distance_fwd_impl(xyz1, xyz2)
+
+
+def _fwd(xyz1, xyz2):
+    out = _nn_distance_fwd_impl(xyz1, xyz2)
+    _, i1, _, i2 = out
+    return out, (xyz1, xyz2, i1, i2)
+
+
+def _scatter_add_points(target_shape, idx, updates):
+    """Batched scatter-add of (b, k, 3) updates into a (b, n, 3) zero array."""
+    zeros = jnp.zeros(target_shape, updates.dtype)
+
+    def one(z, i, u):
+        return z.at[i].add(u)
+
+    return jax.vmap(one)(zeros, idx, updates)
+
+
+def _bwd(res, grads):
+    xyz1, xyz2, idx1, idx2 = res
+    g1, _, g2, _ = grads  # cotangents of int32 idx outputs are symbolic zeros
+    # ∂dist1/∂xyz1 = 2 (xyz1 − xyz2[idx1]); ∂dist1/∂xyz2 = −(same), routed to
+    # the argmin rows (reference grad kernel tf_nndistance.cpp:130-163).
+    nn1 = jnp.take_along_axis(xyz2, idx1[..., None], axis=1)  # (b, n, 3)
+    nn2 = jnp.take_along_axis(xyz1, idx2[..., None], axis=1)  # (b, m, 3)
+    diff1 = xyz1 - nn1
+    diff2 = xyz2 - nn2
+    d_xyz1 = 2.0 * g1[..., None] * diff1
+    d_xyz2 = 2.0 * g2[..., None] * diff2
+    d_xyz1 = d_xyz1 + _scatter_add_points(xyz1.shape, idx2, -2.0 * g2[..., None] * diff2)
+    d_xyz2 = d_xyz2 + _scatter_add_points(xyz2.shape, idx1, -2.0 * g1[..., None] * diff1)
+    return d_xyz1, d_xyz2
+
+
+nn_distance.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.jit, static_argnums=())
+def nn_distance_jit(xyz1, xyz2):
+    """Jitted convenience wrapper (compile cache keyed on shapes)."""
+    return nn_distance(xyz1, xyz2)

@@ -1,0 +1,115 @@
+"""Pallas TPU kernel: one-sided nearest-neighbour min/argmin scan.
+
+Computes, for every point of ``xyz1 (b, n, 3)``, the squared distance to and
+index of its nearest neighbour in ``xyz2 (b, m, 3)`` — the forward of the
+reference ``NmDistanceKernel`` (`pc_distance/tf_nndistance.cu:5-127`). Where
+the CUDA kernel tiles xyz2 through 512-point shared-memory chunks, this kernel
+walks a (b, n_tiles, m_tiles) grid keeping the running (min, argmin) for the
+current n-tile in VMEM scratch; the (TILE_N × TILE_M) distance tile lives only
+in registers/VMEM and is never written to HBM.
+
+Layout note: distances are computed as a (TILE_M sublane × TILE_N lane) tile
+from xyz1 supplied coordinate-major (b, 3, n) and xyz2 point-major (b, m, 3),
+so both the per-coordinate broadcasts and the axis-0 min/argmin reductions map
+directly onto the VPU with no transposes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE_N = 256  # lanes (multiple of 128)
+_TILE_M = 1024  # sublanes (multiple of 8); d2 tile = 1 MB fp32
+_PAD_COORD = 1.0e18  # padding coordinate => squared distance ~1e36, never the min
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def _kernel(x1t_ref, x2_ref, dist_ref, idx_ref, best_d, best_i):
+    mi = pl.program_id(2)
+    mt = pl.num_programs(2)
+
+    @pl.when(mi == 0)
+    def _init():
+        best_d[...] = jnp.full(best_d.shape, jnp.inf, jnp.float32)
+        best_i[...] = jnp.zeros(best_i.shape, jnp.int32)
+
+    x1 = x1t_ref[0]  # (3, TILE_N)
+    x2 = x2_ref[0]  # (TILE_M, 3)
+    d2 = (
+        (x2[:, 0:1] - x1[0:1, :]) ** 2
+        + (x2[:, 1:2] - x1[1:2, :]) ** 2
+        + (x2[:, 2:3] - x1[2:3, :]) ** 2
+    )  # (TILE_M, TILE_N)
+    lmin = jnp.min(d2, axis=0, keepdims=True)  # (1, TILE_N)
+    larg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :] + mi * d2.shape[0]
+    upd = lmin < best_d[...]  # strict < keeps the first (lowest-index) tie
+    best_i[...] = jnp.where(upd, larg, best_i[...])
+    best_d[...] = jnp.where(upd, lmin, best_d[...])
+
+    @pl.when(mi == mt - 1)
+    def _write():
+        # outputs carry an 8-row sublane band (Mosaic's min tile height);
+        # every row holds the same result and the caller keeps row 0.
+        dist_ref[0] = jnp.broadcast_to(best_d[...], dist_ref.shape[1:])
+        idx_ref[0] = jnp.broadcast_to(best_i[...], idx_ref.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=())
+def nn_distance_pallas(xyz1: jax.Array, xyz2: jax.Array):
+    """One-sided NN scan: (dist (b, n) squared, idx (b, n) int32)."""
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    tile_n = min(_TILE_N, _round_up(n, 128))
+    tile_m = min(_TILE_M, _round_up(m, 8))
+    n_pad = _round_up(n, tile_n)
+    m_pad = _round_up(m, tile_m)
+
+    x1t = jnp.pad(
+        xyz1.astype(jnp.float32).transpose(0, 2, 1),
+        ((0, 0), (0, 0), (0, n_pad - n)),
+    )  # (b, 3, n_pad); padded queries produce garbage rows sliced off below
+    x2 = jnp.pad(
+        xyz2.astype(jnp.float32),
+        ((0, 0), (0, m_pad - m), (0, 0)),
+        constant_values=_PAD_COORD,
+    )  # (b, m_pad, 3); padded targets sit astronomically far away
+
+    grid = (b, n_pad // tile_n, m_pad // tile_m)
+    dist, idx = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_n), lambda bi, ni, mi: (bi, 0, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, 3), lambda bi, ni, mi: (bi, mi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 8, tile_n), lambda bi, ni, mi: (bi, 0, ni), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 8, tile_n), lambda bi, ni, mi: (bi, 0, ni), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, n_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile_n), jnp.float32),
+            pltpu.VMEM((1, tile_n), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=9 * b * n_pad * m_pad,
+            bytes_accessed=4 * b * (3 * n_pad + 3 * m_pad + 2 * n_pad),
+            transcendentals=0,
+        ),
+    )(x1t, x2)
+    return dist[:, 0, :n], idx[:, 0, :n]

@@ -1,0 +1,94 @@
+"""nn_distance: brute-force numpy oracle + gradient checks.
+
+Oracle methodology follows the reference's own (commented-out) numpy check in
+`pc_distance/tf_nndistance.py:70-78` and its CPU kernel
+(`pc_distance/tf_nndistance.cpp:21-43`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rfnet_tpu.ops.chamfer import nn_distance
+
+
+def brute_force(xyz1, xyz2):
+    d = np.sum((xyz1[:, :, None, :] - xyz2[:, None, :, :]) ** 2, axis=-1)
+    return (
+        d.min(axis=2),
+        d.argmin(axis=2).astype(np.int32),
+        d.min(axis=1),
+        d.argmin(axis=1).astype(np.int32),
+    )
+
+
+@pytest.mark.parametrize("n,m", [(64, 64), (100, 37), (300, 513)])
+def test_forward_matches_bruteforce(rng, n, m):
+    x1 = rng.randn(2, n, 3).astype(np.float32)
+    x2 = rng.randn(2, m, 3).astype(np.float32)
+    d1, i1, d2, i2 = jax.jit(nn_distance)(x1, x2)
+    bd1, bi1, bd2, bi2 = brute_force(x1, x2)
+    np.testing.assert_allclose(d1, bd1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(d2, bd2, rtol=1e-5, atol=1e-5)
+    # indices must point at equally-near neighbours (fp ties tolerated)
+    g1 = np.take_along_axis(
+        np.sum((x1[:, :, None] - x2[:, None]) ** 2, -1), np.asarray(i1)[..., None], 2
+    )[..., 0]
+    np.testing.assert_allclose(g1, bd1, rtol=1e-5, atol=1e-5)
+
+
+def test_gradient_matches_finite_difference(rng):
+    x1 = rng.randn(1, 24, 3).astype(np.float64).astype(np.float32)
+    x2 = rng.randn(1, 31, 3).astype(np.float32)
+
+    def loss(a, b):
+        d1, _, d2, _ = nn_distance(a, b)
+        return jnp.sum(d1) + 0.5 * jnp.sum(d2)
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x1), jnp.asarray(x2))
+
+    eps = 1e-3
+    for arr_idx, (arr, g) in enumerate([(x1, g1), (x2, g2)]):
+        for flat in [0, 10, 40]:
+            p = arr.copy().reshape(-1)
+            p[flat] += eps
+            up = [x1, x2]
+            up[arr_idx] = p.reshape(arr.shape)
+            lp = float(loss(jnp.asarray(up[0]), jnp.asarray(up[1])))
+            p[flat] -= 2 * eps
+            up[arr_idx] = p.reshape(arr.shape)
+            lm = float(loss(jnp.asarray(up[0]), jnp.asarray(up[1])))
+            fd = (lp - lm) / (2 * eps)
+            assert abs(fd - float(g.reshape(-1)[flat])) < 5e-2, (arr_idx, flat)
+
+
+def test_identical_clouds_zero(rng):
+    x = rng.randn(1, 50, 3).astype(np.float32)
+    d1, i1, d2, i2 = nn_distance(x, x)
+    np.testing.assert_allclose(d1, 0.0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.arange(50)[None])
+
+
+def test_grad_descent_pulls_clouds_together(rng):
+    """Reference smoke test: 100 GD steps shrink the distance
+    (`pc_distance/tf_nndistance.py:33-78`)."""
+    x1 = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+
+    @jax.jit
+    def step(a):
+        def f(a):
+            d1, _, d2, _ = nn_distance(a, x2)
+            return jnp.mean(d1) + jnp.mean(d2)
+
+        l, g = jax.value_and_grad(f)(a)
+        return a - 0.25 * g, l
+
+    l0 = None
+    for _ in range(100):
+        x1, l = step(x1)
+        l0 = l if l0 is None else l0
+    # GD converges to the structural CD floor of two random clouds; require a
+    # solid monotone-ish reduction rather than an exact value.
+    assert float(l) < 0.5 * float(l0)

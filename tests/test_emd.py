@@ -1,0 +1,131 @@
+"""approx_match / match_cost / auction_match oracles and invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rfnet_tpu.ops.auction import auction_match
+from rfnet_tpu.ops.emd import (
+    _approx_match_chunked,
+    _approx_match_full,
+    approx_match,
+    match_cost,
+)
+
+
+def approx_match_oracle(xyz1, xyz2):
+    """Direct numpy transcription of the GPU algorithm
+    (`pc_distance/tf_approxmatch.cu:1-179`, levels 7…−2, fp32 guards)."""
+    n, m = xyz1.shape[0], xyz2.shape[0]
+    if n >= m:
+        mult_l, mult_r = 1.0, float(n // m)
+    else:
+        mult_l, mult_r = float(m // n), 1.0
+    remain_l = np.full(n, mult_l, np.float64)
+    remain_r = np.full(m, mult_r, np.float64)
+    match = np.zeros((m, n), np.float64)
+    d2 = np.sum((xyz1[:, None] - xyz2[None]) ** 2, axis=-1)
+    for j in range(7, -3, -1):
+        level = 0.0 if j == -2 else -(4.0**j)
+        w = np.exp(level * d2)  # (n, m)
+        suml = 1e-9 + w @ remain_r
+        ratio_l = remain_l / suml
+        sumr = (w.T @ ratio_l) * remain_r
+        ratio_r = np.minimum(remain_r / (sumr + 1e-9), 1.0) * remain_r
+        remain_r = np.maximum(0.0, remain_r - sumr)
+        delta = w * ratio_l[:, None] * ratio_r[None, :]
+        match += delta.T
+        remain_l = np.maximum(0.0, remain_l - delta.sum(axis=1))
+    return match
+
+
+@pytest.mark.parametrize("n,m", [(32, 32), (64, 16), (17, 51)])
+def test_approx_match_vs_oracle(rng, n, m):
+    x1 = rng.rand(2, n, 3).astype(np.float32)
+    x2 = rng.rand(2, m, 3).astype(np.float32)
+    match = np.asarray(jax.jit(approx_match)(x1, x2))
+    assert match.shape == (2, m, n)
+    for b in range(2):
+        np.testing.assert_allclose(
+            match[b], approx_match_oracle(x1[b], x2[b]), rtol=1e-3, atol=1e-4
+        )
+
+
+def test_transport_plan_invariants(rng):
+    """Row/col mass must respect the capacities (SURVEY.md §4)."""
+    n, m = 48, 24
+    x1 = rng.rand(1, n, 3).astype(np.float32)
+    x2 = rng.rand(1, m, 3).astype(np.float32)
+    match = np.asarray(approx_match(x1, x2))[0]
+    mult_l, mult_r = 1.0, n // m
+    assert match.min() >= 0
+    assert np.all(match.sum(axis=0) <= mult_l + 1e-4)  # per-xyz1 mass
+    assert np.all(match.sum(axis=1) <= mult_r + 1e-4)  # per-xyz2 mass
+    # the plan should move essentially all the mass
+    assert match.sum() >= 0.98 * n * mult_l
+
+
+def test_chunked_path_matches_full(rng):
+    x1 = rng.rand(1, 128, 3).astype(np.float32)
+    x2 = rng.rand(1, 96, 3).astype(np.float32)
+    full = np.asarray(_approx_match_full(jnp.asarray(x1), jnp.asarray(x2)))
+    chunked = np.asarray(
+        _approx_match_chunked(jnp.asarray(x1), jnp.asarray(x2), chunk=32)
+    )
+    # chunked matmuls accumulate in a different order; only fp noise differs
+    np.testing.assert_allclose(chunked, full, rtol=1e-3, atol=3e-4)
+
+
+def test_match_cost_value_and_grad(rng):
+    n, m = 24, 24
+    x1 = jnp.asarray(rng.rand(2, n, 3).astype(np.float32))
+    x2 = jnp.asarray(rng.rand(2, m, 3).astype(np.float32))
+    match = approx_match(x1, x2)
+    cost = match_cost(x1, x2, match)
+    d = np.sqrt(np.sum((np.asarray(x1)[:, :, None] - np.asarray(x2)[:, None]) ** 2, -1))
+    ref = np.einsum("bnm,bmn->b", d, np.asarray(match))
+    np.testing.assert_allclose(np.asarray(cost), ref, rtol=1e-4)
+
+    # finite differences through the custom VJP (match held fixed, as in the
+    # reference where ApproxMatch is non-differentiable)
+    def f(a):
+        return jnp.sum(match_cost(a, x2, match))
+
+    g = jax.grad(f)(x1)
+    eps = 1e-3
+    x1n = np.asarray(x1)
+    for flat in [0, 17, 50]:
+        p = x1n.copy().reshape(-1)
+        p[flat] += eps
+        lp = float(f(jnp.asarray(p.reshape(x1n.shape))))
+        p[flat] -= 2 * eps
+        lm = float(f(jnp.asarray(p.reshape(x1n.shape))))
+        assert abs((lp - lm) / (2 * eps) - float(np.asarray(g).reshape(-1)[flat])) < 2e-2
+
+
+def test_earth_mover_zero_for_identical(rng):
+    x = rng.rand(1, 32, 3).astype(np.float32)
+    match = approx_match(x, x)
+    cost = match_cost(x, x, match)
+    assert float(cost[0]) / 32 < 5e-3
+
+
+def test_auction_recovers_noised_permutation(rng):
+    """Reference smoke test (`tf_ops/emd/tf_auctionmatch.py:33-50`)."""
+    n = 64
+    x1 = rng.rand(2, n, 3).astype(np.float32)
+    perm = np.stack([rng.permutation(n) for _ in range(2)])
+    x2 = np.take_along_axis(x1, perm[..., None], axis=1) + 1e-5 * rng.randn(2, n, 3).astype(
+        np.float32
+    )
+    matchl, matchr = jax.jit(auction_match)(x1, x2.astype(np.float32))
+    matchl = np.asarray(matchl)
+    # matchl must map each x1 point to (nearly) its permuted twin
+    matched = np.take_along_axis(x2, matchl[..., None], axis=1)
+    mse = np.mean((matched - x1) ** 2)
+    assert mse < 1e-6
+    # and matchl/matchr are inverse permutations
+    for b in range(2):
+        assert sorted(matchl[b].tolist()) == list(range(n))
+        np.testing.assert_array_equal(np.asarray(matchr)[b][matchl[b]], np.arange(n))
