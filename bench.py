@@ -1,0 +1,66 @@
+"""Headline benchmark: dense completion throughput at 16384 output points.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: clouds completed per second per chip, flagship RFNet forward
+(3000-pt partial -> 16384-pt completion), batched inference, steady state
+(warmup excluded — the reference's timing convention, recon_test.py:58-64).
+
+Baseline: the BASELINE.json north star is >=5000 clouds/s on a v4-8 (4 chips)
+=> 1250 clouds/s/chip. vs_baseline = value / 1250.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_CLOUDS_PER_SEC_PER_CHIP = 1250.0
+
+
+def main():
+    from rfnet_tpu.models import RFNet
+    from rfnet_tpu.train import TrainConfig, create_state
+
+    config = TrainConfig()
+    state = create_state(config, RFNet())
+
+    batch = 32
+    rng = np.random.RandomState(0)
+    partial = jnp.asarray(rng.rand(batch, config.innum, 3).astype(np.float32))
+
+    @jax.jit
+    def forward(params, x):
+        return state.apply_fn(params, x).out4
+
+    # compile + warmup
+    out = jax.block_until_ready(forward(state.params, partial))
+    assert out.shape == (batch, 16384, 3)
+    for _ in range(3):
+        jax.block_until_ready(forward(state.params, partial))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(forward(state.params, partial))
+    dt = time.perf_counter() - t0
+    clouds_per_sec = batch * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "completion_throughput_16384pts",
+                "value": round(clouds_per_sec, 2),
+                "unit": "clouds/sec/chip",
+                "vs_baseline": round(
+                    clouds_per_sec / BASELINE_CLOUDS_PER_SEC_PER_CHIP, 4
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

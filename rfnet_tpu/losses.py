@@ -1,0 +1,147 @@
+"""Loss zoo + the composite training objective.
+
+Re-implements the reference's losses (`vv_recon.py:365-419,484-500`) on top of
+the TPU op layer. Formula parity notes:
+
+  * ``chamfer_big`` = ½(mean√dist1 + mean√dist2) — CD-ℓ2 *mean-of-roots* form
+    (`vv_recon.py:381-385`). All parity claims vs BASELINE.md use this form.
+  * ``fidelity_loss`` = one-sided mean√dist partial→output
+    (`vv_recon.py:386-390`) — this is the "emd" column of the reference CSV.
+  * ``earth_mover`` = approx-EMD transport cost / num_points
+    (`vv_recon.py:392-399`).
+  * ``re_chamfer`` = CD averaged over 8 CONTIGUOUS equal index slices — the
+    reference's shuffle is commented out (`vv_recon.py:171-193`), so the
+    partition is deterministic slicing.
+  * ``zero_groupnear`` hinge density regulariser (`vv_recon.py:409-419`):
+    relu(mean‖decode offsets‖² − 0.4·mean NN-dist²(rawpts→ptcens)).
+  * total train loss and schedule weights mirror `vv_recon.py:479-500`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rfnet_tpu.ops.chamfer import nn_distance
+from rfnet_tpu.ops.emd import approx_match, match_cost
+
+
+def chamfer_big(pcd1: jax.Array, pcd2: jax.Array):
+    """Symmetric mean-√ Chamfer distance; also returns idx1 (vv_recon.py:381-385)."""
+    dist1, idx1, dist2, _ = nn_distance(pcd1, pcd2)
+    d1 = jnp.mean(jnp.sqrt(dist1))
+    d2 = jnp.mean(jnp.sqrt(dist2))
+    return (d1 + d2) / 2.0, idx1
+
+
+def fidelity_loss(pcd1: jax.Array, pcd2: jax.Array) -> jax.Array:
+    """One-sided mean-√ NN distance pcd1→pcd2 (vv_recon.py:386-390)."""
+    dist1, _, _, _ = nn_distance(pcd1, pcd2)
+    return jnp.mean(jnp.sqrt(dist1))
+
+
+def earth_mover(pcd1: jax.Array, pcd2: jax.Array) -> jax.Array:
+    """Approx-EMD cost per point, meaned over the batch (vv_recon.py:392-399)."""
+    assert pcd1.shape[1] == pcd2.shape[1], "earth_mover requires equal sizes"
+    num_points = float(pcd1.shape[1])
+    match = approx_match(pcd1, pcd2)
+    cost = match_cost(pcd1, pcd2, match)
+    return jnp.mean(cost / num_points)
+
+
+def re_chamfer(gt: jax.Array, pred: jax.Array, part: int = 8) -> jax.Array:
+    """CD averaged over `part` contiguous 1/part index slices (vv_recon.py:171-193)."""
+    n = gt.shape[1]
+    interval = n // part
+    total = 0.0
+    for i in range(part):
+        sl = slice(i * interval, (i + 1) * interval)
+        total = total + chamfer_big(pred[:, sl], gt[:, sl])[0]
+    return total / part
+
+
+def groupin_near(ptmat: jax.Array) -> jax.Array:
+    """Mean squared decode-offset magnitude (vv_recon.py:409-413)."""
+    return jnp.mean(jnp.sum(ptmat**2, axis=-1))
+
+
+def zero_groupnear(ptcens: jax.Array, rawpts: jax.Array, outmat: jax.Array) -> jax.Array:
+    """Hinge density regulariser (vv_recon.py:414-419): decode offsets must
+    stay below 0.4× the mean NN gap of the GT pyramids."""
+    _, _, dist2, _ = nn_distance(ptcens, rawpts)
+    inval = jnp.mean(dist2)
+    outval = groupin_near(outmat)
+    return jax.nn.relu(outval - 0.4 * inval)
+
+
+# ---------------------------------------------------------------------------
+# Training schedules (vv_recon.py:479-482)
+# ---------------------------------------------------------------------------
+
+
+def piecewise_constant(step, boundaries, values):
+    idx = jnp.sum(jnp.asarray(step) >= jnp.asarray(boundaries))
+    return jnp.asarray(values)[idx]
+
+
+def learning_rate(step) -> jax.Array:
+    """Adam LR: 5e-4 → 1e-5 over [50k, 100k, 150k, 200k] (vv_recon.py:479-480)."""
+    return piecewise_constant(
+        step, [50_000, 100_000, 150_000, 200_000],
+        [0.0005, 0.0002, 0.0002, 0.0001, 0.00001],
+    )
+
+
+def decfactor_weight(step) -> jax.Array:
+    """α₁ penalty weight: 0.01 → 0.001 at 150k (vv_recon.py:481-482)."""
+    return piecewise_constant(step, [50_000, 150_000], [0.01, 0.01, 0.001])
+
+
+class LossBreakdown(NamedTuple):
+    """Every printed diagnostic of the reference train loop (vv_recon.py:436-444)."""
+
+    total: jax.Array
+    cd1_emd: jax.Array  # earth_mover(gt1, points1_pre)
+    cd2_emd: jax.Array  # earth_mover(gt2, points2_pre)
+    cd3: jax.Array  # chamfer_big(gt, out3)
+    cd4: jax.Array  # chamfer_big(gt, out4)
+    recd3: jax.Array
+    moveloss: jax.Array
+    loss_d1: jax.Array
+    loss_d2: jax.Array
+    loss_dec: jax.Array
+
+
+def total_loss(outputs, gt, gt1, gt2, step) -> LossBreakdown:
+    """The composite objective (vv_recon.py:484-500).
+
+    gt (b, 16384, 3); gt1/gt2 are FPS pyramids of gt at 64/1024 points —
+    the reference recomputes them on-device each step (`vv_recon.py:474-475`);
+    this framework precomputes them in the data pipeline and passes them in.
+    """
+    cd1 = earth_mover(gt1, outputs.points1_pre)
+    cd2 = earth_mover(gt2, outputs.points2_pre)
+    cd3, _ = chamfer_big(gt, outputs.out3)
+    cd4, _ = chamfer_big(gt, outputs.out4)
+    recd3 = re_chamfer(gt, outputs.out3, part=8)
+    moveloss = jnp.mean(jnp.sum(outputs.final_move**2, axis=-1))
+    loss = 0.2 * (cd1 + cd2) + cd3 + cd4 + 0.2 * recd3 + 0.1 * moveloss
+    loss_d1 = 0.05 * zero_groupnear(gt1, gt2, outputs.moves1)
+    loss_d2 = 0.05 * zero_groupnear(gt2, gt, outputs.moves2)
+    loss_dec = jnp.sum(outputs.decfactor_sq)
+    alpha1 = decfactor_weight(step)
+    loss = loss + loss_d1 + loss_d2 + alpha1 * loss_dec
+    return LossBreakdown(
+        total=loss,
+        cd1_emd=cd1,
+        cd2_emd=cd2,
+        cd3=cd3,
+        cd4=cd4,
+        recd3=recd3,
+        moveloss=moveloss,
+        loss_d1=loss_d1,
+        loss_d2=loss_d2,
+        loss_dec=loss_dec,
+    )

@@ -1,0 +1,8 @@
+from rfnet_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch"]

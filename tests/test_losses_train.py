@@ -1,0 +1,128 @@
+"""Loss formulas, schedules, and an end-to-end tiny training run."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rfnet_tpu import losses
+from rfnet_tpu.models import RFNet
+from rfnet_tpu.train import TrainConfig, create_state, make_jitted_steps
+
+
+def test_chamfer_big_formula(rng):
+    a = rng.rand(2, 40, 3).astype(np.float32)
+    b = rng.rand(2, 50, 3).astype(np.float32)
+    cd, idx1 = losses.chamfer_big(a, b)
+    d = np.sum((a[:, :, None] - b[:, None]) ** 2, -1)
+    ref = (np.mean(np.sqrt(d.min(2))) + np.mean(np.sqrt(d.min(1)))) / 2
+    np.testing.assert_allclose(float(cd), ref, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx1), d.argmin(2))
+
+
+def test_fidelity_is_one_sided(rng):
+    a = rng.rand(1, 30, 3).astype(np.float32)
+    b = rng.rand(1, 60, 3).astype(np.float32)
+    f = losses.fidelity_loss(a, b)
+    d = np.sum((a[:, :, None] - b[:, None]) ** 2, -1)
+    np.testing.assert_allclose(float(f), np.mean(np.sqrt(d.min(2))), rtol=1e-5)
+
+
+def test_re_chamfer_contiguous_slices(rng):
+    gt = rng.rand(1, 64, 3).astype(np.float32)
+    pred = rng.rand(1, 64, 3).astype(np.float32)
+    v = losses.re_chamfer(jnp.asarray(gt), jnp.asarray(pred), part=8)
+    acc = 0.0
+    for i in range(8):
+        sl = slice(i * 8, (i + 1) * 8)
+        d = np.sum((pred[:, sl][:, :, None] - gt[:, sl][:, None]) ** 2, -1)
+        acc += (np.mean(np.sqrt(d.min(2))) + np.mean(np.sqrt(d.min(1)))) / 2
+    np.testing.assert_allclose(float(v), acc / 8, rtol=1e-5)
+
+
+def test_schedules_match_reference():
+    # vv_recon.py:479-482 piecewise boundaries
+    for step, lr in [(0, 5e-4), (49_999, 5e-4), (50_000, 2e-4), (99_999, 2e-4),
+                     (100_000, 2e-4), (150_000, 1e-4), (200_000, 1e-5)]:
+        np.testing.assert_allclose(float(losses.learning_rate(step)), lr, rtol=1e-6)
+    for step, a1 in [(0, 0.01), (149_999, 0.01), (150_000, 0.001)]:
+        np.testing.assert_allclose(float(losses.decfactor_weight(step)), a1, rtol=1e-6)
+
+
+def test_zero_groupnear_hinge(rng):
+    cens = jnp.asarray(rng.rand(1, 16, 3).astype(np.float32))
+    raw = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+    small = jnp.zeros((1, 16, 4, 3))
+    assert float(losses.zero_groupnear(cens, raw, small)) == 0.0  # inside hinge
+    big = 10.0 * jnp.ones((1, 16, 4, 3))
+    assert float(losses.zero_groupnear(cens, raw, big)) > 0.0
+
+
+def _tiny_config():
+    return TrainConfig(
+        iters=30, batch_size=4, eval_size=2, innum=64, ptnum=128,
+        n_seed=4, up_ratio=4, log_every=1000, ckpt_every=10_000,
+    )
+
+
+def _synthetic_batch(config, rng):
+    gt = rng.rand(config.batch_size, config.ptnum, 3).astype(np.float32)
+    partial = gt[:, : config.innum] + 0.01 * rng.randn(
+        config.batch_size, config.innum, 3
+    ).astype(np.float32)
+    return jnp.asarray(partial), jnp.asarray(gt)
+
+
+def test_overfit_one_batch(rng):
+    """The loss must fall steadily when training on a single fixed batch —
+    exercises model fwd, all loss terms, FPS pyramids, Adam, custom VJPs."""
+    config = _tiny_config()
+    state = create_state(config)
+    jstep, _ = make_jitted_steps(config)
+    partial, gt = _synthetic_batch(config, rng)
+    first = None
+    for _ in range(30):
+        state, lb, _ = jstep(state, partial, gt)
+        if first is None:
+            first = float(lb.total)
+    last = float(lb.total)
+    assert np.isfinite(last)
+    assert last < 0.75 * first, f"no learning: {first} -> {last}"
+
+
+def test_train_step_dp_mesh(rng):
+    """The same step over a virtual 8-device mesh: batch dp-sharded, state
+    replicated, gradient all-reduce inserted by XLA."""
+    from rfnet_tpu.parallel import make_mesh, shard_batch
+
+    config = dataclasses.replace(_tiny_config(), batch_size=8)
+    mesh = make_mesh(8)
+    state = create_state(config)
+    jstep, jeval = make_jitted_steps(config, mesh)
+    partial, gt = _synthetic_batch(config, rng)
+    partial, gt = shard_batch((partial, gt), mesh)
+    state2, lb, _ = jstep(state, partial, gt)
+    assert np.isfinite(float(lb.total))
+    # the replicated state must be identical to a single-device step's result
+    jstep1, _ = make_jitted_steps(config)
+    state1, lb1, _ = jstep1(create_state(config), jnp.asarray(partial), jnp.asarray(gt))
+    np.testing.assert_allclose(float(lb.total), float(lb1.total), rtol=1e-4)
+    cd, emd = jeval(state2, partial, gt)
+    assert np.isfinite(float(cd)) and np.isfinite(float(emd))
+
+
+def test_model_applies_at_flagship_shapes_abstractly():
+    """Shape-check the full 3000→16384 pyramid without paying CPU compute."""
+    model = RFNet()
+    out = jax.eval_shape(
+        lambda p, x: model.apply(p, x),
+        jax.eval_shape(
+            model.init, jax.random.PRNGKey(0), jax.ShapeDtypeStruct((2, 3000, 3), jnp.float32)
+        ),
+        jax.ShapeDtypeStruct((2, 3000, 3), jnp.float32),
+    )
+    assert out.out1.shape == (2, 64, 3)
+    assert out.out2.shape == (2, 1024, 3)
+    assert out.out3.shape == (2, 16384, 3)
+    assert out.out4.shape == (2, 16384, 3)

@@ -1,0 +1,98 @@
+"""RFNet model: shape pyramid, weight sharing, gradient flow, param count."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rfnet_tpu.models import RFNet
+
+
+def tiny_model():
+    # up_ratio 4: 8 -> 32 -> 128 output pyramid; cheap on the 1-core CPU host
+    return RFNet(n_seed=4, up_ratio=4)
+
+
+def test_output_pyramid_shapes(rng):
+    model = tiny_model()
+    pc = jnp.asarray(rng.rand(2, 100, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), pc)
+    out = jax.jit(model.apply)(params, pc)
+    assert out.out1.shape == (2, 8, 3)
+    assert out.out2.shape == (2, 32, 3)
+    assert out.out3.shape == (2, 128, 3)
+    assert out.out4.shape == (2, 128, 3)
+    assert out.points1_pre.shape == (2, 8, 3)
+    assert out.points2_pre.shape == (2, 32, 3)
+    assert out.moves1.shape == (2, 8, 4, 3)
+    assert out.moves2.shape == (2, 32, 4, 3)
+    assert out.final_move.shape == (2, 128, 3)
+    assert out.code1.shape == (2, 1, 256)
+    assert out.decfactor_sq.shape == (3,)
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert bool(jnp.all(jnp.isfinite(leaf))), "non-finite model output"
+
+
+def test_weight_sharing_matches_reference(rng):
+    """encode_cell and decode_cell appear ONCE in the param tree (reference
+    reuse=True at vv_recon.py:217,229,232); recover/refine are per-step."""
+    model = tiny_model()
+    pc = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), pc)["params"]
+    keys = set(params.keys())
+    assert "cell" in keys and "decode_cell" in keys
+    assert {"recover1", "recover2", "recover3"} <= keys
+    assert {"refine_layer1", "refine_layer2", "refine_layer_final"} <= keys
+    assert {"decline_factor0", "decline_factor1", "decline_factor"} <= keys
+
+
+def test_gradients_flow_everywhere(rng):
+    model = tiny_model()
+    pc = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+    gt = jnp.asarray(rng.rand(1, 128, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), pc)
+
+    def loss_fn(p):
+        out = model.apply(p, pc)
+        from rfnet_tpu.losses import chamfer_big
+
+        return chamfer_big(gt, out.out4)[0] + chamfer_big(gt, out.out3)[0]
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    n_nonzero = 0
+    for path, g in flat:
+        assert bool(jnp.all(jnp.isfinite(g))), f"non-finite grad at {path}"
+        if float(jnp.max(jnp.abs(g))) > 0:
+            n_nonzero += 1
+    # nearly every parameter should receive signal through out3/out4
+    assert n_nonzero / len(flat) > 0.9, f"only {n_nonzero}/{len(flat)} grads nonzero"
+
+
+def test_fullsize_param_count_golden():
+    """Param count of the flagship config — 3,818,795, verified to match an
+    analytic layer-by-layer count of the reference conv stack
+    (`vv_recon.py:84-364`): init_mlp 41,600 + cell 395,392 + recover×3
+    594,432 + init_move 553,091 + part_mlp 41,600 + feat_trans 197,120 +
+    init_cell 525,292 + decode_cell 984,304 + refine×3 485,961 + 3
+    decline factors."""
+    model = RFNet()  # n_seed=32, up_ratio=16
+    shapes = jax.eval_shape(
+        model.init,
+        jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, 3000, 3), jnp.float32),
+    )
+    count = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(shapes))
+    # pinned from the first correct build; see docstring
+    assert count == PARAM_COUNT_GOLDEN, f"param count changed: {count}"
+
+
+PARAM_COUNT_GOLDEN = 3_818_795
+
+
+def test_deterministic_forward(rng):
+    model = tiny_model()
+    pc = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), pc)
+    o1 = model.apply(params, pc)
+    o2 = model.apply(params, pc)
+    np.testing.assert_array_equal(np.asarray(o1.out4), np.asarray(o2.out4))
