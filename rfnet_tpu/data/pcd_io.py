@@ -16,7 +16,21 @@ _DTYPES = {("F", 4): "f4", ("F", 8): "f8", ("I", 4): "i4", ("U", 4): "u4",
 
 
 def read_pcd(filename: str) -> np.ndarray:
-    """Read a .pcd file, returning the (n, 3) xyz float array."""
+    """Read a .pcd file, returning the (n, 3) xyz float array.
+
+    Uses the native C++ codec (native/pcd_codec.cpp) when buildable — float
+    parsing in C keeps the host input pipeline off the critical path — and
+    falls back to the pure-numpy parser below.
+    """
+    from rfnet_tpu.data.native import read_pcd_native
+
+    native = read_pcd_native(filename)
+    if native is not None:
+        return native
+    return _read_pcd_py(filename)
+
+
+def _read_pcd_py(filename: str) -> np.ndarray:
     with open(filename, "rb") as f:
         header = {}
         while True:
