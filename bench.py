@@ -35,16 +35,20 @@ def main():
     def forward(params, x):
         return state.apply_fn(params, x).out4
 
-    # compile + warmup
-    out = jax.block_until_ready(forward(state.params, partial))
+    # compile + warmup; the float() readback forces real completion (the
+    # experimental platform's block_until_ready has been observed returning
+    # before execution finishes)
+    out = forward(state.params, partial)
     assert out.shape == (batch, 16384, 3)
     for _ in range(3):
-        jax.block_until_ready(forward(state.params, partial))
+        float(jnp.sum(forward(state.params, partial)))
 
     iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(forward(state.params, partial))
+    outs = [forward(state.params, partial) for _ in range(iters)]
+    # in-order per-device execution: reading back the LAST output bounds the
+    # completion of all dispatched iterations while keeping the pipeline full
+    float(jnp.sum(outs[-1]))
     dt = time.perf_counter() - t0
     clouds_per_sec = batch * iters / dt
 

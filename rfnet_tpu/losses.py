@@ -51,6 +51,22 @@ def earth_mover(pcd1: jax.Array, pcd2: jax.Array) -> jax.Array:
     return jnp.mean(cost / num_points)
 
 
+def emd_func(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """Radius-normalised exact-assignment EMD via auction matching
+    (`vv_recon.py:365-380`). Dead code in the reference train/test path;
+    provided for API parity."""
+    from rfnet_tpu.ops.auction import auction_match
+    from rfnet_tpu.ops.fps import gather_point
+
+    matchl, _ = auction_match(pred, gt)
+    matched = gather_point(gt, matchl)
+    dist = jnp.sqrt(jnp.sum((pred - matched) ** 2, axis=-1))
+    dist = jnp.mean(dist, axis=-1)
+    cens = jnp.mean(pred, axis=1, keepdims=True)
+    radius = jnp.sqrt(jnp.max(jnp.sum((pred - cens) ** 2, axis=-1), axis=-1))
+    return jnp.mean(dist / radius)
+
+
 def re_chamfer(gt: jax.Array, pred: jax.Array, part: int = 8) -> jax.Array:
     """CD averaged over `part` contiguous 1/part index slices (vv_recon.py:171-193)."""
     n = gt.shape[1]

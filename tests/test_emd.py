@@ -129,3 +129,15 @@ def test_auction_recovers_noised_permutation(rng):
     for b in range(2):
         assert sorted(matchl[b].tolist()) == list(range(n))
         np.testing.assert_array_equal(np.asarray(matchr)[b][matchl[b]], np.arange(n))
+
+
+def test_emd_func_api_parity(rng):
+    """emd_func (vv_recon.py:365-380): radius-normalised auction EMD."""
+    from rfnet_tpu.losses import emd_func
+
+    n = 32
+    x = rng.rand(2, n, 3).astype(np.float32)
+    v_same = float(emd_func(jnp.asarray(x), jnp.asarray(x)))
+    assert v_same < 1e-6
+    y = x + 0.3 * rng.randn(2, n, 3).astype(np.float32)
+    assert float(emd_func(jnp.asarray(x), jnp.asarray(y))) > v_same
