@@ -37,7 +37,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from rfnet_tpu.ops.chamfer import nn_distance
+from rfnet_tpu.ops.chamfer import nearest_neighbor
 from rfnet_tpu.ops.fps import farthest_point_sample, gather_point
 
 _xavier = nn.initializers.xavier_uniform()
@@ -248,10 +248,12 @@ def merge_layer(rawpts, newpts, decfactor):
     learned Gaussian weight (`merge_layer`, vv_recon.py:132-139, knum=1).
 
     Gradient contract matches the reference: the argmin index carries no
-    gradient (nn_distance custom VJP), distances are recomputed from the
-    gathered neighbours.
+    gradient, distances are recomputed from the gathered neighbours. Only
+    the newpts→rawpts direction of the reference's nn_distance call is
+    consumed (`vv_recon.py:134` uses idx2 alone), so the one-sided scan is
+    used explicitly — half the kernel work.
     """
-    _, _, _, idx2 = nn_distance(rawpts, newpts)  # idx2: NN of each newpt in raw
+    _, idx2 = nearest_neighbor(newpts, rawpts)  # NN of each newpt in raw
     nn_pts = jnp.take_along_axis(rawpts, idx2[..., None], axis=1)  # (b, np, 3)
     delta = nn_pts - newpts
     d2 = jnp.sum(delta * delta, axis=-1, keepdims=True)

@@ -140,3 +140,23 @@ nn_distance.defvjp(_fwd, _bwd)
 def nn_distance_jit(xyz1, xyz2):
     """Jitted convenience wrapper (compile cache keyed on shapes)."""
     return nn_distance(xyz1, xyz2)
+
+
+def nearest_neighbor(query: jax.Array, target: jax.Array):
+    """One-sided NN scan: (dist² (b, n), idx (b, n)) of query into target.
+
+    Half the work of ``nn_distance`` when only one direction is needed (the
+    merge layer's case). Index gradient-free; distances are not returned
+    with a custom VJP — recompute from gathered points to differentiate,
+    as the merge layer does.
+    """
+    query = lax.stop_gradient(query)
+    target = lax.stop_gradient(target)
+    if jax.default_backend() == "tpu":
+        from rfnet_tpu.ops.pallas.chamfer import nn_distance_pallas
+
+        try:
+            return nn_distance_pallas(query, target)
+        except Exception:  # pragma: no cover
+            pass
+    return _one_sided(query, target)

@@ -32,33 +32,44 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-def _kernel(x1t_ref, x2_ref, dist_ref, idx_ref, best_d, best_i):
+def _kernel(x1t_ref, x2_ref, dist_ref, idx_ref, best_e, best_i):
+    """Tile scan of e = |x2|² − 2·x1·x2 (the query norm |x1|² is a per-query
+    constant: it cannot change the argmin over targets, so it is added once
+    at the very end instead of once per pair). The cross term rides the MXU;
+    the VPU only pays the bias-add + min + argmin per pair."""
     mi = pl.program_id(2)
     mt = pl.num_programs(2)
 
     @pl.when(mi == 0)
     def _init():
-        best_d[...] = jnp.full(best_d.shape, jnp.inf, jnp.float32)
+        best_e[...] = jnp.full(best_e.shape, jnp.inf, jnp.float32)
         best_i[...] = jnp.zeros(best_i.shape, jnp.int32)
 
-    x1 = x1t_ref[0]  # (3, TILE_N)
-    x2 = x2_ref[0]  # (TILE_M, 3)
-    d2 = (
-        (x2[:, 0:1] - x1[0:1, :]) ** 2
-        + (x2[:, 1:2] - x1[1:2, :]) ** 2
-        + (x2[:, 2:3] - x1[2:3, :]) ** 2
+    x1 = x1t_ref[0]  # (3, TILE_N) queries, coordinate-major
+    x2 = x2_ref[0]  # (TILE_M, 3) targets
+    # VPU broadcast dot: an MXU fp32 dot here is SLOWER (K=3 padded to 128 ×
+    # 6 exact-fp32 passes ≈ 2× the VPU cost — measured); the VPU pays
+    # 6 ops/pair for e = |x2|² − 2·x1·x2 with |x2|² folded into the fma
+    s2 = jnp.sum(x2 * x2, axis=1, keepdims=True)  # (TILE_M, 1)
+    cross = (
+        x2[:, 0:1] * x1[0:1, :]
+        + x2[:, 1:2] * x1[1:2, :]
+        + x2[:, 2:3] * x1[2:3, :]
     )  # (TILE_M, TILE_N)
-    lmin = jnp.min(d2, axis=0, keepdims=True)  # (1, TILE_N)
-    larg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :] + mi * d2.shape[0]
-    upd = lmin < best_d[...]  # strict < keeps the first (lowest-index) tie
+    e = s2 - 2.0 * cross
+    lmin = jnp.min(e, axis=0, keepdims=True)  # (1, TILE_N)
+    larg = jnp.argmin(e, axis=0).astype(jnp.int32)[None, :] + mi * e.shape[0]
+    upd = lmin < best_e[...]  # strict < keeps the first (lowest-index) tie
     best_i[...] = jnp.where(upd, larg, best_i[...])
-    best_d[...] = jnp.where(upd, lmin, best_d[...])
+    best_e[...] = jnp.where(upd, lmin, best_e[...])
 
     @pl.when(mi == mt - 1)
     def _write():
+        s1 = jnp.sum(x1 * x1, axis=0, keepdims=True)  # (1, TILE_N)
+        d = jnp.maximum(best_e[...] + s1, 0.0)
         # outputs carry an 8-row sublane band (Mosaic's min tile height);
         # every row holds the same result and the caller keeps row 0.
-        dist_ref[0] = jnp.broadcast_to(best_d[...], dist_ref.shape[1:])
+        dist_ref[0] = jnp.broadcast_to(d, dist_ref.shape[1:])
         idx_ref[0] = jnp.broadcast_to(best_i[...], idx_ref.shape[1:])
 
 

@@ -57,6 +57,92 @@ def plot_pcd_three_views(
     plt.close(fig)
 
 
+def render_balls(
+    points: np.ndarray,
+    image_size: int = 512,
+    radius: int = 3,
+    colors: np.ndarray | None = None,
+    background: int = 0,
+) -> np.ndarray:
+    """Z-buffered point-sprite render (capability parity with the reference's
+    `render_balls_so.cpp`). Returns an (H, W, 3) uint8 image.
+
+    Uses the native C++ rasteriser when buildable, else a numpy z-buffer.
+    """
+    pts = np.asarray(points, np.float64)
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    scale = (image_size * 0.8) / max(float((hi - lo).max()), 1e-9)
+    xy = ((pts[:, :2] - lo[:2]) * scale + image_size * 0.1).astype(np.int32)
+    z = ((pts[:, 2] - lo[2]) * scale * 1000).astype(np.int32)
+    if colors is None:
+        t = (pts[:, 0] - lo[0]) / max(float(hi[0] - lo[0]), 1e-9)
+        colors = np.stack([255 * t, 80 + 0 * t, 255 * (1 - t)], axis=1)
+    colors = np.asarray(colors, np.int32)
+    img = np.full((image_size, image_size, 3), background, np.uint8)
+
+    lib = _render_lib()
+    if lib is not None:
+        import ctypes
+
+        xyzs = np.ascontiguousarray(
+            np.stack([xy[:, 0], xy[:, 1], z], axis=1), np.int32
+        )
+        c0 = np.ascontiguousarray(colors[:, 0])
+        c1 = np.ascontiguousarray(colors[:, 1])
+        c2 = np.ascontiguousarray(colors[:, 2])
+        lib.render_ball(
+            image_size, image_size,
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            len(pts),
+            xyzs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            c0.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            c1.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            c2.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            radius,
+        )
+        return img
+
+    # numpy fallback: nearest-wins z-buffer with a square splat
+    order = np.argsort(z)
+    for i in order:
+        x0, y0 = int(xy[i, 0]), int(xy[i, 1])
+        x1, x2 = max(0, x0 - radius), min(image_size, x0 + radius + 1)
+        y1, y2 = max(0, y0 - radius), min(image_size, y0 + radius + 1)
+        if x1 < x2 and y1 < y2:
+            img[x1:x2, y1:y2] = np.clip(colors[i], 0, 255).astype(np.uint8)
+    return img
+
+
+_render_cache: list = []
+
+
+def _render_lib():
+    if _render_cache:
+        return _render_cache[0]
+    import ctypes
+    import os as _os
+    import subprocess
+
+    src = os.path.join(os.path.dirname(__file__), "..", "native", "render_balls.cpp")
+    so = _os.path.join(
+        _os.path.expanduser("~"), ".cache", "rfnet_native", "librenderballs.so"
+    )
+    lib = None
+    try:
+        if _os.path.exists(src):
+            _os.makedirs(_os.path.dirname(so), exist_ok=True)
+            if not _os.path.exists(so) or _os.path.getmtime(so) < _os.path.getmtime(src):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", so, _os.path.abspath(src)],
+                    check=True, capture_output=True, timeout=120,
+                )
+            lib = ctypes.CDLL(so)
+    except Exception:
+        lib = None
+    _render_cache.append(lib)
+    return lib
+
+
 def plot_pcd_atten_views(
     filename: str, pcds, attens, titles, suptitle: str = "", sizes=None
 ):

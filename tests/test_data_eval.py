@@ -101,3 +101,12 @@ def test_eval_cli_end_to_end(tmp_path, rng):
         assert os.path.exists(os.path.join(results_dir, "plots", "0002", "c.png"))
     finally:
         eval_mod.TrainConfig = orig
+
+
+def test_render_balls(rng):
+    from rfnet_tpu.visu import render_balls
+
+    pts = rng.rand(500, 3)
+    img = render_balls(pts, image_size=128, radius=2)
+    assert img.shape == (128, 128, 3) and img.dtype == np.uint8
+    assert img.max() > 0  # something was drawn

@@ -141,3 +141,16 @@ def test_three_nn_and_interpolate(rng):
     gp, gw = jax.grad(lambda p, ww: jnp.sum(three_interpolate(p, idx, ww)), (0, 1))(pts, w)
     assert float(jnp.max(jnp.abs(gw))) == 0.0
     assert float(jnp.max(jnp.abs(gp))) > 0.0
+
+
+def test_fps_pallas_interpret_matches_scan(rng):
+    """The Pallas FPS kernel (interpret mode on CPU) must match the scan."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rfnet_tpu.ops.pallas.fps import fps_pallas
+
+    xyz = rng.randn(2, 200, 3).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        idx_k = np.asarray(fps_pallas(24, jnp.asarray(xyz)))
+    idx_s = np.asarray(farthest_point_sample(24, jnp.asarray(xyz)))
+    np.testing.assert_array_equal(idx_k, idx_s)
