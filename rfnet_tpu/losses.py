@@ -28,18 +28,39 @@ from rfnet_tpu.ops.chamfer import nn_distance
 from rfnet_tpu.ops.emd import approx_match, match_cost
 
 
+@jax.custom_jvp
+def _safe_sqrt(x: jax.Array) -> jax.Array:
+    """Forward-exact sqrt with a bounded derivative at 0.
+
+    The composite grad of √(‖a−b‖²) w.r.t. a point is the UNIT vector
+    (a−b)/‖a−b‖ — bounded — but autodiff forms it as 2(a−b) × 1/(2√d²),
+    which is 0 × inf = NaN when the squared distance is exactly 0 (common
+    here: the distance kernels clamp tiny fp-negative values to exactly 0).
+    Capping the sqrt derivative keeps the composite the correct unit-vector
+    magnitude and kills the NaN; forward values are untouched (parity).
+    """
+    return jnp.sqrt(x)
+
+
+@_safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    y = jnp.sqrt(x)
+    return y, t / (2.0 * jnp.maximum(y, 1e-7))
+
+
 def chamfer_big(pcd1: jax.Array, pcd2: jax.Array):
     """Symmetric mean-√ Chamfer distance; also returns idx1 (vv_recon.py:381-385)."""
     dist1, idx1, dist2, _ = nn_distance(pcd1, pcd2)
-    d1 = jnp.mean(jnp.sqrt(dist1))
-    d2 = jnp.mean(jnp.sqrt(dist2))
+    d1 = jnp.mean(_safe_sqrt(dist1))
+    d2 = jnp.mean(_safe_sqrt(dist2))
     return (d1 + d2) / 2.0, idx1
 
 
 def fidelity_loss(pcd1: jax.Array, pcd2: jax.Array) -> jax.Array:
     """One-sided mean-√ NN distance pcd1→pcd2 (vv_recon.py:386-390)."""
     dist1, _, _, _ = nn_distance(pcd1, pcd2)
-    return jnp.mean(jnp.sqrt(dist1))
+    return jnp.mean(_safe_sqrt(dist1))
 
 
 def earth_mover(pcd1: jax.Array, pcd2: jax.Array) -> jax.Array:

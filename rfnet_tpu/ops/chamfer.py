@@ -78,7 +78,10 @@ def _one_sided(x1: jax.Array, x2: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def _nn_distance_fwd_impl(xyz1, xyz2):
     if jax.default_backend() == "tpu":
-        # Pallas path: single-pass VMEM min/argmin scan, no (n, m) tile in HBM.
+        # Pallas path: two one-sided VMEM scans. (A fused bidirectional
+        # sweep that reduced each tile along both axes was measured 3.6×
+        # SLOWER — the per-tile (TILE_M,1)→(1,TILE_M) relayout for the
+        # column direction dominates — so the recompute wins.)
         from rfnet_tpu.ops.pallas.chamfer import nn_distance_pallas
 
         try:

@@ -35,8 +35,7 @@ def _round_up(x: int, mult: int) -> int:
 def _kernel(x1t_ref, x2_ref, dist_ref, idx_ref, best_e, best_i):
     """Tile scan of e = |x2|² − 2·x1·x2 (the query norm |x1|² is a per-query
     constant: it cannot change the argmin over targets, so it is added once
-    at the very end instead of once per pair). The cross term rides the MXU;
-    the VPU only pays the bias-add + min + argmin per pair."""
+    at the very end instead of once per pair)."""
     mi = pl.program_id(2)
     mt = pl.num_programs(2)
 

@@ -169,6 +169,7 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
 
     os.makedirs("logs", exist_ok=True)
     metrics_path = os.path.join("logs", "metrics.jsonl")
+    tb = _tb_writer("logs")
     train_gen = iter(train_df)
     best_cd = float("inf")
     t_last = time.perf_counter()
@@ -196,6 +197,13 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
             )
             with open(metrics_path, "a") as f:
                 f.write(json.dumps({"step": i, **lb_host._asdict()}) + "\n")
+            if tb is not None:
+                with tb.as_default(step=i):
+                    import tensorflow as tf  # noqa: PLC0415
+
+                    for k, v in lb_host._asdict().items():
+                        tf.summary.scalar(f"loss/{k}", v)
+                    tf.summary.scalar("throughput/clouds_per_sec", rate)
         if (i + 1) % config.ckpt_every == 0:
             mgr.save(i + 1, args=ocp.args.StandardSave(state))
             mgr.wait_until_finished()
@@ -209,6 +217,17 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
     jax.block_until_ready(state.params)
     print(f"trained {int(state.step) - start} steps (now at step {int(state.step)})")
     return state
+
+
+def _tb_writer(logdir: str):
+    """TensorBoard scalar writer — same cadence and scalar set the reference
+    logs via tf.summary (`vv_recon.py:432-444,516-517`); optional (needs TF)."""
+    try:
+        import tensorflow as tf  # noqa: PLC0415
+
+        return tf.summary.create_file_writer(logdir)
+    except Exception:
+        return None
 
 
 def evaluate(jeval, state, valid_df, valid_num: int, config: TrainConfig):
@@ -233,7 +252,13 @@ def main(argv=None):
     p.add_argument("--workdir", default="./modelvv_recon")
     p.add_argument("--mesh", action="store_true", help="data-parallel over all devices")
     p.add_argument("--profile_dir", default=None, help="write a jax profiler trace here")
+    p.add_argument(
+        "--debug_nans", action="store_true",
+        help="fail fast on any NaN (the TPU answer to CUDA sanitizers)",
+    )
     args = p.parse_args(argv)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     config = TrainConfig(workdir=args.workdir)
     if args.steps:
