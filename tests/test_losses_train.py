@@ -126,3 +126,13 @@ def test_model_applies_at_flagship_shapes_abstractly():
     assert out.out2.shape == (2, 1024, 3)
     assert out.out3.shape == (2, 16384, 3)
     assert out.out4.shape == (2, 16384, 3)
+
+
+def test_chamfer_grad_finite_at_zero_distance():
+    """Regression: exact-0 squared distances (the kernels clamp tiny fp
+    negatives to 0) must not produce NaN gradients through the sqrt."""
+    a = jnp.asarray(np.array([[[0.1, 0.2, 0.3], [0.5, 0.5, 0.5]]], np.float32))
+    g = jax.grad(lambda x: losses.chamfer_big(x, a)[0])(a)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    g2 = jax.grad(lambda x: losses.fidelity_loss(x, a))(a)
+    assert bool(jnp.all(jnp.isfinite(g2)))
