@@ -31,17 +31,14 @@ conv axis is dropped — every 1×1 conv is a Dense matmul on the MXU. The whole
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from rfnet_tpu.nn import PointMLP, dense
 from rfnet_tpu.ops.chamfer import nearest_neighbor
 from rfnet_tpu.ops.fps import farthest_point_sample, gather_point
-
-_xavier = nn.initializers.xavier_uniform()
-
 
 def _scalar_xavier(key, shape, dtype=jnp.float32):
     """TF xavier on shape [1]: uniform ±√(6/(1+1)) (`vv_recon.py:211`)."""
@@ -49,24 +46,8 @@ def _scalar_xavier(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -lim, lim)
 
 
-def _dense(ch: int, name: str):
-    return nn.Dense(ch, kernel_init=_xavier, bias_init=nn.initializers.zeros, name=name)
-
-
-class MLP(nn.Module):
-    """conv2d-[1,1] stack; every layer ReLU unless the last is overridden."""
-
-    features: tuple
-    last_act: Any = nn.relu
-
-    @nn.compact
-    def __call__(self, x):
-        for i, ch in enumerate(self.features):
-            x = _dense(ch, f"l{i}")(x)
-            act = nn.relu if i < len(self.features) - 1 else self.last_act
-            if act is not None:
-                x = act(x)
-        return x
+_dense = dense
+MLP = PointMLP
 
 
 class GlobalMLP(nn.Module):

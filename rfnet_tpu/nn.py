@@ -11,56 +11,41 @@ Init parity: TF1 ``xavier_initializer`` (uniform ±√(6/(fan_in+fan_out))) →
 ``nn.initializers.xavier_uniform``; biases zero (`vv_recon.py:40-43,56`).
 The reference *collects* an L2 regulariser per weight but never adds the
 collection to the loss (`vv_recon.py:34-39` vs `:495-500` — the 'losses'
-collection is never read), so no weight decay is applied here either; the
-optional ``l2_regularizer`` helper exists for anyone who wants the term.
+collection is never read), so no weight decay is applied by default; the
+``l2_regularizer`` helper computes the term for anyone who wants it.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+xavier = nn.initializers.xavier_uniform()
+
+
+def dense(ch: int, name: str) -> nn.Dense:
+    """One per-point Dense layer with the reference's init scheme."""
+    return nn.Dense(ch, kernel_init=xavier, bias_init=nn.initializers.zeros, name=name)
+
 
 class PointMLP(nn.Module):
-    """A stack of per-point Dense layers (the conv2d-[1,1] stacks).
+    """conv2d-[1,1] stack; every layer ReLU unless the last is overridden
+    (mirrors ``conv2d``'s default ``activation_func=tf.nn.relu``)."""
 
-    features: output channels per layer.
-    final_activation: activation of the LAST layer ('relu' default mirrors
-      conv2d's default; None mirrors `activation_func=None`).
-    """
-
-    features: Sequence[int]
-    activation: Callable = nn.relu
-    final_activation: Callable | None = nn.relu
+    features: tuple
+    last_act: Any = nn.relu
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for i, ch in enumerate(self.features):
-            x = nn.Dense(
-                ch,
-                kernel_init=nn.initializers.xavier_uniform(),
-                bias_init=nn.initializers.zeros,
-                name=f"layer{i}",
-            )(x)
-            act = self.activation if i < len(self.features) - 1 else self.final_activation
+            x = dense(ch, f"l{i}")(x)
+            act = nn.relu if i < len(self.features) - 1 else self.last_act
             if act is not None:
                 x = act(x)
         return x
-
-
-def dense(x: jax.Array, ch: int, name: str, activation=nn.relu, *, parent) -> jax.Array:
-    """Inline per-point Dense for use inside nn.compact bodies."""
-    y = nn.Dense(
-        ch,
-        kernel_init=nn.initializers.xavier_uniform(),
-        bias_init=nn.initializers.zeros,
-        name=name,
-        parent=parent,
-    )(x)
-    return activation(y) if activation is not None else y
 
 
 def l2_regularizer(params, rate: float = 1e-5) -> jax.Array:
