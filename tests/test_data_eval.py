@@ -110,3 +110,23 @@ def test_render_balls(rng):
     img = render_balls(pts, image_size=128, radius=2)
     assert img.shape == (128, 128, 3) and img.dtype == np.uint8
     assert img.max() > 0  # something was drawn
+
+
+def test_grain_pipeline_contract():
+    """Optional grain-backed dataflow yields the same batch contract."""
+    pytest_skip = False
+    try:
+        import grain  # noqa: F401
+    except ImportError:
+        pytest_skip = True
+    if pytest_skip:
+        import pytest
+
+        pytest.skip("grain not installed")
+    from rfnet_tpu.data.grain_pipeline import grain_dataflow
+
+    items = list(synthetic_pairs(8, 64, 128))
+    gen = grain_dataflow(items, batch_size=4, input_size=32, gt_size=128, prefetch=16)
+    ids, inputs, npts, gts = next(gen)
+    assert inputs.shape == (4, 32, 3) and inputs.dtype == np.float32
+    assert gts.shape == (4, 128, 3) and npts == 32
