@@ -58,8 +58,14 @@ def make_complete_fn(state):
 
     @jax.jit
     def metrics(partial, output, gt):
-        cd, _ = losses.chamfer_big(output, gt)
-        emd = losses.fidelity_loss(partial, output)
+        # per-sample forms of chamfer_big / fidelity_loss (identical to the
+        # reference values, which are computed at batch 1)
+        from rfnet_tpu.ops.chamfer import nn_distance
+
+        d1, _, d2, _ = nn_distance(output, gt)
+        cd = (jnp.mean(jnp.sqrt(d1), axis=1) + jnp.mean(jnp.sqrt(d2), axis=1)) / 2
+        f1, _, _, _ = nn_distance(partial, output)
+        emd = jnp.mean(jnp.sqrt(f1), axis=1)
         return cd, emd
 
     return complete, metrics
@@ -85,45 +91,64 @@ def test(args):
     total_emd = 0.0
     cd_per_cat: dict[str, list] = {}
     emd_per_cat: dict[str, list] = {}
-    for i, model_id in enumerate(model_list):
-        partial = read_pcd(os.path.join(args.data_dir, "partial", f"{model_id}.pcd"))
-        complete_gt = read_pcd(os.path.join(args.data_dir, "complete", f"{model_id}.pcd"))
-        partial = resample_pcd(partial, 3000).astype(np.float32)
-        gt = resample_pcd(complete_gt, args.num_gt_points).astype(np.float32)
+    bsz = max(1, args.batch_size)
+    for chunk_start in range(0, len(model_list), bsz):
+        chunk = model_list[chunk_start : chunk_start + bsz]
+        partials, gts = [], []
+        for model_id in chunk:
+            partial = read_pcd(os.path.join(args.data_dir, "partial", f"{model_id}.pcd"))
+            complete_gt = read_pcd(
+                os.path.join(args.data_dir, "complete", f"{model_id}.pcd")
+            )
+            partials.append(resample_pcd(partial, 3000).astype(np.float32))
+            gts.append(resample_pcd(complete_gt, args.num_gt_points).astype(np.float32))
+        # pad the final group so one compiled batch shape serves the whole run
+        while len(partials) < bsz:
+            partials.append(partials[-1])
+            gts.append(gts[-1])
+        pb = jnp.asarray(np.stack(partials))
+        gb = jnp.asarray(np.stack(gts))
 
         start = time.time()
-        completion = jax.block_until_ready(complete(jnp.asarray(partial[None])))
-        elapsed = time.time() - start
-        if i >= 10:
-            total_time += elapsed
+        completion = jax.block_until_ready(complete(pb))
+        float(jnp.sum(completion))  # force real completion (see CLAUDE.md)
+        elapsed = (time.time() - start) / bsz
+        cds, emds = metrics(pb, completion, gb)
 
-        cd, emd = metrics(jnp.asarray(partial[None]), completion, jnp.asarray(gt[None]))
-        cd, emd = float(cd), float(emd)
-        total_cd += cd
-        total_emd += emd
-        writer.writerow([model_id, cd, emd])
+        for j, model_id in enumerate(chunk):
+            i = chunk_start + j
+            if i >= 10:
+                total_time += elapsed
+            cd, emd = float(cds[j]), float(emds[j])
+            total_cd += cd
+            total_emd += emd
+            writer.writerow([model_id, cd, emd])
 
-        synset_id, short_id = model_id.split("/")
-        cd_per_cat.setdefault(synset_id, []).append(cd)
-        emd_per_cat.setdefault(synset_id, []).append(emd)
+            synset_id, short_id = model_id.split("/")
+            cd_per_cat.setdefault(synset_id, []).append(cd)
+            emd_per_cat.setdefault(synset_id, []).append(emd)
 
-        if i % args.plot_freq == 0:
-            from rfnet_tpu.visu import plot_pcd_three_views
+            if i % args.plot_freq == 0:
+                from rfnet_tpu.visu import plot_pcd_three_views
 
-            os.makedirs(os.path.join(args.results_dir, "plots", synset_id), exist_ok=True)
-            plot_pcd_three_views(
-                os.path.join(args.results_dir, "plots", synset_id, f"{short_id}.png"),
-                [partial, np.asarray(completion[0]), gt],
-                ["input", "output", "ground truth"],
-                f"CD {cd:.4f}  EMD {emd:.4f}",
-                [5, 0.5, 0.5],
-            )
-        if args.save_pcd:
-            os.makedirs(os.path.join(args.results_dir, "pcds", synset_id), exist_ok=True)
-            save_pcd(
-                os.path.join(args.results_dir, "pcds", synset_id, f"{short_id}.pcd"),
-                np.asarray(completion[0]),
-            )
+                os.makedirs(
+                    os.path.join(args.results_dir, "plots", synset_id), exist_ok=True
+                )
+                plot_pcd_three_views(
+                    os.path.join(args.results_dir, "plots", synset_id, f"{short_id}.png"),
+                    [partials[j], np.asarray(completion[j]), gts[j]],
+                    ["input", "output", "ground truth"],
+                    f"CD {cd:.4f}  EMD {emd:.4f}",
+                    [5, 0.5, 0.5],
+                )
+            if args.save_pcd:
+                os.makedirs(
+                    os.path.join(args.results_dir, "pcds", synset_id), exist_ok=True
+                )
+                save_pcd(
+                    os.path.join(args.results_dir, "pcds", synset_id, f"{short_id}.pcd"),
+                    np.asarray(completion[j]),
+                )
     csv_file.close()
 
     denom = max(1, len(model_list) - 10)
@@ -147,6 +172,10 @@ def main(argv=None):
     parser.add_argument("--num_gt_points", type=int, default=16384)
     parser.add_argument("--plot_freq", type=int, default=100)
     parser.add_argument("--save_pcd", action="store_true")
+    parser.add_argument(
+        "--batch_size", type=int, default=1,
+        help="models per device batch (1 = reference behaviour)",
+    )
     args = parser.parse_args(argv)
     test(args)
 
