@@ -145,6 +145,41 @@ def nn_distance_jit(xyz1, xyz2):
     return nn_distance(xyz1, xyz2)
 
 
+def _inverse_perm(perm: jax.Array) -> jax.Array:
+    """Inverse of a batched permutation via scatter (cheaper than argsort)."""
+    b, n = perm.shape
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=perm.dtype)[None], (b, n))
+
+    def one(p, i):
+        return jnp.zeros((n,), perm.dtype).at[p].set(i)
+
+    return jax.vmap(one)(perm, iota)
+
+
+def nearest_neighbor_pruned(query: jax.Array, target: jax.Array):
+    """One-sided NN via the z-sorted tile-pruned Pallas kernel.
+
+    Bit-equivalent distances to :func:`nearest_neighbor` (ties may resolve to
+    a different equally-near index). Sorting both clouds by z makes target
+    tiles thin spatial slabs whose bounding-box lower bounds prune most of
+    the O(n·m) scan; the permutations are undone on the way out.
+    """
+    query = lax.stop_gradient(query)
+    target = lax.stop_gradient(target)
+    from rfnet_tpu.ops.pallas.chamfer_pruned import nn_pruned_pallas
+
+    q_ord = jnp.argsort(query[..., 2], axis=1).astype(jnp.int32)
+    t_ord = jnp.argsort(target[..., 2], axis=1).astype(jnp.int32)
+    qs = jnp.take_along_axis(query, q_ord[..., None], axis=1)
+    ts = jnp.take_along_axis(target, t_ord[..., None], axis=1)
+    d_s, i_s = nn_pruned_pallas(qs, ts)
+    inv = _inverse_perm(q_ord)
+    d = jnp.take_along_axis(d_s, inv, axis=1)
+    i_sorted = jnp.take_along_axis(i_s, inv, axis=1)
+    idx = jnp.take_along_axis(t_ord, i_sorted, axis=1)
+    return d, idx
+
+
 def nearest_neighbor(query: jax.Array, target: jax.Array):
     """One-sided NN scan: (dist² (b, n), idx (b, n)) of query into target.
 

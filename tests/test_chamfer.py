@@ -92,3 +92,22 @@ def test_grad_descent_pulls_clouds_together(rng):
     # GD converges to the structural CD floor of two random clouds; require a
     # solid monotone-ish reduction rather than an exact value.
     assert float(l) < 0.5 * float(l0)
+
+
+def test_pruned_kernel_interpret_matches_bruteforce(rng):
+    """Tile-pruned sorted NN scan must be exact (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rfnet_tpu.ops.chamfer import nearest_neighbor_pruned
+
+    # structured clouds (blobs) so the pruning actually fires, plus ragged sizes
+    for n, m in [(70, 150), (300, 520)]:
+        centers = rng.randn(6, 3).astype(np.float32)
+        q = (centers[rng.randint(0, 6, n)] + 0.1 * rng.randn(n, 3)).astype(np.float32)[None]
+        t = (centers[rng.randint(0, 6, m)] + 0.1 * rng.randn(m, 3)).astype(np.float32)[None]
+        with pltpu.force_tpu_interpret_mode():
+            d, i = nearest_neighbor_pruned(jnp.asarray(q), jnp.asarray(t))
+        bd = np.sum((q[:, :, None] - t[:, None]) ** 2, -1)
+        np.testing.assert_allclose(np.asarray(d), bd.min(-1), rtol=1e-3, atol=1e-5)
+        picked = np.take_along_axis(bd, np.asarray(i)[..., None], 2)[..., 0]
+        np.testing.assert_allclose(picked, bd.min(-1), rtol=1e-3, atol=1e-5)
