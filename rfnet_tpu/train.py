@@ -249,6 +249,7 @@ def main(argv=None):
     p.add_argument("--synthetic_size", type=int, default=256)
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--ckpt_every", type=int, default=None)
     p.add_argument("--workdir", default="./modelvv_recon")
     p.add_argument("--mesh", action="store_true", help="data-parallel over all devices")
     p.add_argument("--profile_dir", default=None, help="write a jax profiler trace here")
@@ -265,6 +266,8 @@ def main(argv=None):
         config = dataclasses.replace(config, iters=args.steps)
     if args.batch_size:
         config = dataclasses.replace(config, batch_size=args.batch_size)
+    if args.ckpt_every:
+        config = dataclasses.replace(config, ckpt_every=args.ckpt_every)
 
     if args.synthetic:
         from rfnet_tpu.data.dataset import synthetic_dataflow
