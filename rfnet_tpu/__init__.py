@@ -20,10 +20,11 @@ import jax as _jax
 # through a remote relay and can take minutes; cache executables on disk so
 # every process after the first pays nothing for an already-seen shape.
 _cache_dir = _os.environ.get("RFNET_JAX_CACHE", _os.path.expanduser("~/.cache/rfnet_jax"))
-try:  # pragma: no cover - trivially environment dependent
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+if _cache_dir.lower() not in ("", "off", "none"):  # RFNET_JAX_CACHE=off to disable
+    try:  # pragma: no cover - trivially environment dependent
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 from rfnet_tpu import ops  # noqa: F401

@@ -19,6 +19,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# CPU-only cache dir: keeps test artifacts separate from the TPU cache so
+# machine-feature metadata stays internally consistent (see CLAUDE.md).
+os.environ.setdefault(
+    "RFNET_JAX_CACHE", os.path.expanduser("~/.cache/rfnet_jax_cputests")
+)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
