@@ -176,8 +176,17 @@ def main(argv=None):
         "--batch_size", type=int, default=1,
         help="models per device batch (1 = reference behaviour)",
     )
+    parser.add_argument(
+        "--profile_dir", default=None, help="write a jax profiler trace here"
+    )
     args = parser.parse_args(argv)
-    test(args)
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    try:
+        test(args)
+    finally:
+        if args.profile_dir:
+            jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":

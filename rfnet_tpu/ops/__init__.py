@@ -32,7 +32,11 @@ hand-written grad kernel, and from plain autodiff where gather transposes
 (scatter-add) already match the reference ``atomicAdd`` kernels.
 """
 
-from rfnet_tpu.ops.chamfer import nn_distance
+from rfnet_tpu.ops.chamfer import (
+    nearest_neighbor,
+    nearest_neighbor_pruned,
+    nn_distance,
+)
 from rfnet_tpu.ops.fps import farthest_point_sample, gather_point, sampling
 from rfnet_tpu.ops.grouping import group_point, knn_point, query_ball_point
 from rfnet_tpu.ops.interpolate import three_interpolate, three_nn
@@ -41,6 +45,8 @@ from rfnet_tpu.ops.auction import auction_match
 
 __all__ = [
     "nn_distance",
+    "nearest_neighbor",
+    "nearest_neighbor_pruned",
     "farthest_point_sample",
     "gather_point",
     "sampling",
