@@ -111,13 +111,18 @@ def _chunk_of(x, i, size):
     return lax.dynamic_slice_in_dim(x, i * size, size, axis=1)
 
 
-def _approx_match_chunked(xyz1, xyz2, chunk):
-    """Same recurrence, streaming n-axis chunks; only the plan is resident."""
+def _approx_match_chunked(xyz1, xyz2, chunk, real_n=None):
+    """Same recurrence, streaming n-axis chunks; only the plan is resident.
+
+    real_n: logical query count when xyz1 carries padding rows — capacities
+    come from it and padded rows start with ZERO mass, so they can never
+    absorb transport at the λ=0 final level.
+    """
     b, n, _ = xyz1.shape
     m = xyz2.shape[1]
     assert n % chunk == 0, "point counts are padded to the chunk size"
     n_chunks = n // chunk
-    multi_l, multi_r = _capacities(n, m)
+    multi_l, multi_r = _capacities(real_n if real_n is not None else n, m)
 
     def w_tile(i, level):
         x1c = _chunk_of(xyz1, i, chunk)
@@ -163,9 +168,12 @@ def _approx_match_chunked(xyz1, xyz2, chunk):
         match, remain_l = lax.fori_loop(0, n_chunks, p3, (match, remain_l))
         return (match, remain_l, remain_r), None
 
+    remain_l0 = jnp.full((b, n), multi_l, jnp.float32)
+    if real_n is not None and real_n < n:
+        remain_l0 = jnp.where(jnp.arange(n)[None, :] < real_n, remain_l0, 0.0)
     init = (
         jnp.zeros((b, m, n), jnp.float32),
-        jnp.full((b, n), multi_l, jnp.float32),
+        remain_l0,
         jnp.full((b, m), multi_r, jnp.float32),
     )
     (match, _, _), _ = lax.scan(level_step, init, _levels())
@@ -184,10 +192,10 @@ def approx_match(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
     if b * n * m <= _FULL_PATH_MAX_ELEMS or n <= _CHUNK:
         return _approx_match_full(xyz1, xyz2)
     chunk = _CHUNK
-    if n % chunk != 0:  # pad queries; padded rows get ~zero mass and are cut
+    if n % chunk != 0:  # pad queries; padded rows carry zero mass and are cut
         n_pad = -(-n // chunk) * chunk
         x1p = jnp.pad(xyz1, ((0, 0), (0, n_pad - n), (0, 0)), constant_values=1e6)
-        return _approx_match_chunked(x1p, xyz2, chunk)[:, :, :n]
+        return _approx_match_chunked(x1p, xyz2, chunk, real_n=n)[:, :, :n]
     return _approx_match_chunked(xyz1, xyz2, chunk)
 
 

@@ -141,3 +141,26 @@ def test_emd_func_api_parity(rng):
     assert v_same < 1e-6
     y = x + 0.3 * rng.randn(2, n, 3).astype(np.float32)
     assert float(emd_func(jnp.asarray(x), jnp.asarray(y))) > v_same
+
+
+def test_chunked_padding_mass_conservation(rng):
+    """Regression: padded query rows must carry zero mass — capacities come
+    from the REAL query count, and the λ=0 final level must not let padding
+    absorb transport."""
+    n, m = 100, 32  # n % chunk != 0 when chunked with chunk=32
+    x1 = rng.rand(1, n, 3).astype(np.float32)
+    x2 = rng.rand(1, m, 3).astype(np.float32)
+    full = np.asarray(_approx_match_full(jnp.asarray(x1), jnp.asarray(x2)))
+    from rfnet_tpu.ops.emd import _approx_match_chunked
+
+    n_pad = 128
+    x1p = np.pad(x1, ((0, 0), (0, n_pad - n), (0, 0)), constant_values=1e6)
+    chunked = np.asarray(
+        _approx_match_chunked(jnp.asarray(x1p), jnp.asarray(x2), 32, real_n=n)
+    )[:, :, :n]
+    np.testing.assert_allclose(chunked, full, rtol=1e-3, atol=3e-4)
+    # padded columns of the (unsliced) plan must be exactly zero
+    full_pad = np.asarray(
+        _approx_match_chunked(jnp.asarray(x1p), jnp.asarray(x2), 32, real_n=n)
+    )
+    assert float(np.abs(full_pad[:, :, n:]).max()) == 0.0
