@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 import queue as queue_mod
 import threading
-from collections.abc import Iterable, Iterator
+from collections.abc import Iterator
 
 import numpy as np
 

@@ -27,10 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rfnet_tpu import losses
 from rfnet_tpu.data.dataset import resample_pcd
 from rfnet_tpu.data.pcd_io import read_pcd, save_pcd
-from rfnet_tpu.models import RFNet
 from rfnet_tpu.train import TrainConfig, create_state, ocp_abstract
 
 
