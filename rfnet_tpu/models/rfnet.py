@@ -31,6 +31,7 @@ conv axis is dropped — every 1×1 conv is a Dense matmul on the MXU. The whole
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -54,10 +55,11 @@ class GlobalMLP(nn.Module):
     """Per-point MLP + max-pool codeword (`global_mlp`, vv_recon.py:84-91)."""
 
     features: tuple = (64, 128, 256)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, pts):
-        t = MLP(self.features, name="mlp")(pts)
+        t = MLP(self.features, name="mlp", dtype=self.dtype)(pts)
         return jnp.max(t, axis=1, keepdims=True)  # (b, 1, c)
 
 
@@ -70,15 +72,16 @@ class EncodeCell(nn.Module):
     mlp: tuple = (256, 384)
     mlpout: tuple = (256, 256)
     state_len: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, pts, state):
         n = pts.shape[1]
         x = jnp.concatenate([pts, jnp.broadcast_to(state, (pts.shape[0], n, state.shape[-1]))], -1)
-        x = MLP(self.mlp, name="state_mlp")(x)
-        x = nn.relu(_dense(self.state_len, "state_end")(x))
+        x = MLP(self.mlp, name="state_mlp", dtype=self.dtype)(x)
+        x = nn.relu(_dense(self.state_len, "state_end", self.dtype)(x))
         new_state = jnp.max(x, axis=1, keepdims=True)
-        code = MLP(self.mlpout, name="code_mlp")(new_state)
+        code = MLP(self.mlpout, name="code_mlp", dtype=self.dtype)(new_state)
         return code, new_state
 
 
@@ -87,14 +90,15 @@ class RecoverCell(nn.Module):
     vv_recon.py:123-131). Final projection has no activation."""
 
     mlp2: tuple = (256, 256)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, code, pts):
         b, n, _ = pts.shape
         x = jnp.concatenate([jnp.broadcast_to(code, (b, n, code.shape[-1])), pts], -1)
-        x = MLP(self.mlp2, name="mlp")(x)
+        x = MLP(self.mlp2, name="mlp", dtype=self.dtype)(x)
         x = jnp.max(x, axis=1, keepdims=True)
-        return _dense(self.mlp2[-1], "out")(x)  # linear (b, 1, c)
+        return _dense(self.mlp2[-1], "out", self.dtype)(x)  # linear (b, 1, c)
 
 
 class InitMoveLayer(nn.Module):
@@ -105,6 +109,7 @@ class InitMoveLayer(nn.Module):
     mlp1: tuple = (256, 128)
     mlp2: tuple = (256, 128, 64)
     state_len: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, startpts, code):
@@ -112,13 +117,13 @@ class InitMoveLayer(nn.Module):
         t1 = jnp.concatenate(
             [startpts, jnp.broadcast_to(code, (b, k, code.shape[-1]))], -1
         )
-        t = MLP(self.mlp, name="mlp")(t1)
+        t = MLP(self.mlp, name="mlp", dtype=self.dtype)(t1)
         maxt = jnp.max(t, axis=1, keepdims=True)
         t = jnp.concatenate([t1, jnp.broadcast_to(maxt, (b, k, maxt.shape[-1]))], -1)
-        feats = MLP(self.mlp1, name="featmlp")(t)
-        feats = nn.relu(_dense(self.state_len, "featout")(feats))
-        pts = MLP(self.mlp2, name="ptsmlp")(t)
-        pts = jnp.tanh(_dense(3, "ptsout")(pts))
+        feats = MLP(self.mlp1, name="featmlp", dtype=self.dtype)(t)
+        feats = nn.relu(_dense(self.state_len, "featout", self.dtype)(feats))
+        pts = MLP(self.mlp2, name="ptsmlp", dtype=self.dtype)(t)
+        pts = jnp.tanh(_dense(3, "ptsout", self.dtype)(pts))
         return startpts + pts, feats
 
 
@@ -130,23 +135,24 @@ class InitDecodeLayer(nn.Module):
     mlp: tuple = (256, 256)
     mlp2: tuple = (256, 256)
     state_len: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, code):
         b = code.shape[0]
-        x = nn.relu(_dense(256, "input_trans")(code))  # state_tensor is None
-        x = MLP(self.mlp, name="mlp")(x)  # (b, 1, 256)
-        raw = _dense(3 * self.ptnum + 12, "points_out")(x)  # linear
+        x = nn.relu(_dense(256, "input_trans", self.dtype)(code))  # state_tensor is None
+        x = MLP(self.mlp, name="mlp", dtype=self.dtype)(x)  # (b, 1, 256)
+        raw = _dense(3 * self.ptnum + 12, "points_out", self.dtype)(x)  # linear
         transmat = raw[..., -12:-3].reshape(b, 3, 3)
         movemat = raw[..., -3:].reshape(b, 1, 3)
         pts = jnp.tanh(raw[..., : 3 * self.ptnum]).reshape(b, self.ptnum, 3)
         pts = jnp.einsum("bnc,bcd->bnd", pts, transmat) + movemat
-        st = nn.relu(_dense(self.ptnum * 16, "state_out")(x)).reshape(b, self.ptnum, 16)
+        st = nn.relu(_dense(self.ptnum * 16, "state_out", self.dtype)(x)).reshape(b, self.ptnum, 16)
         st = jnp.concatenate(
             [st, jnp.broadcast_to(x, (b, self.ptnum, x.shape[-1]))], -1
         )
-        st = MLP(self.mlp2, name="state_mlp")(st)
-        st = nn.relu(_dense(self.state_len, "state_outo")(st))
+        st = MLP(self.mlp2, name="state_mlp", dtype=self.dtype)(st)
+        st = nn.relu(_dense(self.state_len, "state_outo", self.dtype)(st))
         return pts, st
 
 
@@ -166,30 +172,31 @@ class DecodeCell(nn.Module):
     mlp_mask: tuple = (128, 128)
     mlp_expand: tuple = (128,)
     state_len: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, code, center, state):
         b, n, _ = center.shape
         clen = code.shape[-1]
         mask = jnp.concatenate([center, jnp.broadcast_to(code, (b, n, clen))], -1)
-        mask = MLP(self.mlp_mask, name="mask_mlp")(mask)
-        mask = nn.relu(_dense(clen, "mask_out")(mask))  # (b, n, clen)
-        info = nn.relu(_dense(256, "input_trans")(mask * code))
-        sinfo = nn.relu(_dense(128, "state_trans")(state))
-        x = MLP(self.mlp, name="mlp")(jnp.concatenate([info, sinfo], -1))
-        p = MLP(self.mlp1, name="points_mlp")(x)
-        p = jnp.tanh(_dense(3 * self.up_ratio, "points_out")(p))
+        mask = MLP(self.mlp_mask, name="mask_mlp", dtype=self.dtype)(mask)
+        mask = nn.relu(_dense(clen, "mask_out", self.dtype)(mask))  # (b, n, clen)
+        info = nn.relu(_dense(256, "input_trans", self.dtype)(mask * code))
+        sinfo = nn.relu(_dense(128, "state_trans", self.dtype)(state))
+        x = MLP(self.mlp, name="mlp", dtype=self.dtype)(jnp.concatenate([info, sinfo], -1))
+        p = MLP(self.mlp1, name="points_mlp", dtype=self.dtype)(x)
+        p = jnp.tanh(_dense(3 * self.up_ratio, "points_out", self.dtype)(p))
         moves = p.reshape(b, n, self.up_ratio, 3)
         pts = (center[:, :, None, :] + moves).reshape(b, n * self.up_ratio, 3)
         s = jnp.concatenate([x, jnp.broadcast_to(code, (b, n, clen))], -1)
-        s = MLP(self.mlp2, name="state_mlp")(s)  # (b, n, 128)
+        s = MLP(self.mlp2, name="state_mlp", dtype=self.dtype)(s)  # (b, n, 128)
         branches = []
         cur = s
         for i in range(self.up_ratio):
             # branch i feeds branch i+1 — the reference chains `newnew`
             # through every state_expand block (vv_recon.py:353-360)
-            cur = MLP(self.mlp_expand, name=f"expand{i}_pre")(cur)
-            cur = nn.leaky_relu(_dense(self.state_len, f"expand{i}")(cur))
+            cur = MLP(self.mlp_expand, name=f"expand{i}_pre", dtype=self.dtype)(cur)
+            cur = nn.leaky_relu(_dense(self.state_len, f"expand{i}", self.dtype)(cur))
             branches.append(cur)
         smove = jnp.stack(branches, axis=2)  # (b, n, up, S)
         new_state = (state[:, :, None, :] + smove).reshape(
@@ -205,22 +212,23 @@ class RefineLayer(nn.Module):
     mlp: tuple = (128, 64, 64)
     mlp2: tuple = (128, 128)
     mlpself: tuple = (128, 128)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, pts, feat, feat2):
         b, n, _ = pts.shape
         t = jnp.concatenate([pts, jnp.broadcast_to(feat, (b, n, feat.shape[-1]))], -1)
-        t = MLP(self.mlpself, name="self_mlp")(t)
+        t = MLP(self.mlpself, name="self_mlp", dtype=self.dtype)(t)
         maxt = jnp.max(t, axis=1, keepdims=True)
         t = jnp.concatenate([pts, jnp.broadcast_to(maxt, (b, n, maxt.shape[-1]))], -1)
-        t = MLP(self.mlp, name="mlp")(t)
-        move = jnp.tanh(_dense(3, "out")(t))
+        t = MLP(self.mlp, name="mlp", dtype=self.dtype)(t)
+        move = jnp.tanh(_dense(3, "out", self.dtype)(t))
         new_pts = pts + move
         s = jnp.concatenate(
             [new_pts, feat2, jnp.broadcast_to(feat, (b, n, feat.shape[-1]))], -1
         )
-        s = MLP(self.mlp2, name="feat_mlp")(s)
-        s = jnp.tanh(_dense(feat2.shape[-1], "feat_out")(s))
+        s = MLP(self.mlp2, name="feat_mlp", dtype=self.dtype)(s)
+        s = jnp.tanh(_dense(feat2.shape[-1], "feat_out", self.dtype)(s))
         return new_pts, feat2 + s, move
 
 
@@ -278,23 +286,26 @@ class RFNet(nn.Module):
     state_len: int = 256
     n_seed: int = 32  # FPS seeds moved + fresh points generated at step 1
     up_ratio: int = 16
+    # computation dtype of the feature MLPs (params + coordinates stay f32);
+    # bf16 is the serving mode — see nn.dense
+    dtype: Any = None
 
     def setup(self):
-        self.init_mlp = GlobalMLP((64, 128, self.state_len), name="init_mlp")
+        self.init_mlp = GlobalMLP((64, 128, self.state_len), name="init_mlp", dtype=self.dtype)
         self.cell = EncodeCell(
-            mlp=(256, 384), mlpout=(256, 256), state_len=self.state_len, name="cell"
+            mlp=(256, 384), mlpout=(256, 256), state_len=self.state_len, name="cell", dtype=self.dtype
         )
-        self.recover1 = RecoverCell(name="recover1")
-        self.recover2 = RecoverCell(name="recover2")
-        self.recover3 = RecoverCell(name="recover3")
-        self.init_move = InitMoveLayer(name="init_move")
-        self.part_mlp = GlobalMLP((64, 128, self.state_len), name="part_mlp")
-        self.feat_trans = MLP((256, 256), name="feat_trans")
-        self.init_cell = InitDecodeLayer(ptnum=self.n_seed, name="init_cell")
-        self.decode = DecodeCell(up_ratio=self.up_ratio, name="decode_cell")
-        self.refine1 = RefineLayer(name="refine_layer1")
-        self.refine2 = RefineLayer(name="refine_layer2")
-        self.refine_final = RefineLayer(name="refine_layer_final")
+        self.recover1 = RecoverCell(name="recover1", dtype=self.dtype)
+        self.recover2 = RecoverCell(name="recover2", dtype=self.dtype)
+        self.recover3 = RecoverCell(name="recover3", dtype=self.dtype)
+        self.init_move = InitMoveLayer(name="init_move", dtype=self.dtype)
+        self.part_mlp = GlobalMLP((64, 128, self.state_len), name="part_mlp", dtype=self.dtype)
+        self.feat_trans = MLP((256, 256), name="feat_trans", dtype=self.dtype)
+        self.init_cell = InitDecodeLayer(ptnum=self.n_seed, name="init_cell", dtype=self.dtype)
+        self.decode = DecodeCell(up_ratio=self.up_ratio, name="decode_cell", dtype=self.dtype)
+        self.refine1 = RefineLayer(name="refine_layer1", dtype=self.dtype)
+        self.refine2 = RefineLayer(name="refine_layer2", dtype=self.dtype)
+        self.refine_final = RefineLayer(name="refine_layer_final", dtype=self.dtype)
         self.decfactor0 = self.param("decline_factor0", _scalar_xavier, (1,))
         self.decfactor1 = self.param("decline_factor1", _scalar_xavier, (1,))
         self.decfactor2 = self.param("decline_factor", _scalar_xavier, (1,))

@@ -26,9 +26,17 @@ import jax.numpy as jnp
 xavier = nn.initializers.xavier_uniform()
 
 
-def dense(ch: int, name: str) -> nn.Dense:
-    """One per-point Dense layer with the reference's init scheme."""
-    return nn.Dense(ch, kernel_init=xavier, bias_init=nn.initializers.zeros, name=name)
+def dense(ch: int, name: str, dtype=None) -> nn.Dense:
+    """One per-point Dense layer with the reference's init scheme.
+
+    dtype: computation dtype (params stay float32). bf16 halves the HBM
+    traffic of the big per-point feature layers for serving; coordinates
+    remain float32 throughout the model (offsets promote back on add).
+    """
+    return nn.Dense(
+        ch, kernel_init=xavier, bias_init=nn.initializers.zeros, name=name,
+        dtype=dtype,
+    )
 
 
 class PointMLP(nn.Module):
@@ -37,11 +45,12 @@ class PointMLP(nn.Module):
 
     features: tuple
     last_act: Any = nn.relu
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for i, ch in enumerate(self.features):
-            x = dense(ch, f"l{i}")(x)
+            x = dense(ch, f"l{i}", self.dtype)(x)
             act = nn.relu if i < len(self.features) - 1 else self.last_act
             if act is not None:
                 x = act(x)

@@ -59,6 +59,9 @@ class TrainConfig:
     # model
     n_seed: int = 32
     up_ratio: int = 16
+    # 'bfloat16' = serving mode for the feature MLPs (params/coords stay f32;
+    # measured CD delta 0.02% on a trained model — see PARITY.md)
+    compute_dtype: str = "float32"
 
 
 class TrainState(train_state.TrainState):
@@ -66,7 +69,8 @@ class TrainState(train_state.TrainState):
 
 
 def create_state(config: TrainConfig, model: RFNet | None = None) -> TrainState:
-    model = model or RFNet(n_seed=config.n_seed, up_ratio=config.up_ratio)
+    dtype = None if config.compute_dtype == "float32" else jnp.dtype(config.compute_dtype)
+    model = model or RFNet(n_seed=config.n_seed, up_ratio=config.up_ratio, dtype=dtype)
     params = model.init(
         jax.random.PRNGKey(config.seed),
         jnp.zeros((1, config.innum, 3), jnp.float32),

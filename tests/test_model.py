@@ -96,3 +96,22 @@ def test_deterministic_forward(rng):
     o1 = model.apply(params, pc)
     o2 = model.apply(params, pc)
     np.testing.assert_array_equal(np.asarray(o1.out4), np.asarray(o2.out4))
+
+
+def test_bf16_compute_mode(rng):
+    """Serving mode: feature MLPs in bf16, coordinates stay f32; params are
+    shared with the f32 model (same tree, f32 storage) and outputs stay
+    close to the f32 forward."""
+    pc = jnp.asarray(rng.rand(1, 100, 3).astype(np.float32))
+    f32 = RFNet(n_seed=4, up_ratio=4)
+    bf16 = RFNet(n_seed=4, up_ratio=4, dtype=jnp.bfloat16)
+    params = f32.init(jax.random.PRNGKey(0), pc)
+    out32 = f32.apply(params, pc)
+    out16 = bf16.apply(params, pc)  # same params, different compute dtype
+    assert out16.out4.dtype == jnp.float32  # coords promote back to f32
+    # random-init recurrences amplify rounding via discrete argmin reroutes;
+    # judge by the mean deviation (trained-model CD deltas are measured on
+    # chip and recorded in PARITY.md)
+    err = float(jnp.mean(jnp.abs(out16.out4 - out32.out4)))
+    assert err < 0.03, f"bf16 deviates too much: {err}"
+    assert err > 0  # actually ran in lower precision
