@@ -157,8 +157,12 @@ def _abstract(state):
 
 
 def ocp_abstract(x):
-    if isinstance(x, jax.Array | np.ndarray):
-        return jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+    if isinstance(x, jax.Array):
+        # carry the target sharding so restore places arrays directly on the
+        # current mesh (and stays safe across topology changes)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+    if isinstance(x, np.ndarray):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
     return x
 
 
