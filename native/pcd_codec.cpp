@@ -205,7 +205,11 @@ long pcd_read(const char* path, float* out, long max_pts) {
     }
     std::vector<uint8_t> cbuf(comp), ubuf(uncomp);
     if (fread(cbuf.data(), 1, comp, f) != comp) { fclose(f); return -4; }
-    if (lzf_decompress(cbuf.data(), comp, ubuf.data(), uncomp) < 0) {
+    // Header-derived sizes are untrusted: require the decompressor to
+    // produce exactly `uncomp` bytes, and every field block to lie inside
+    // the buffer, before gathering — a truncated/malformed file must fail
+    // with -4, never read past ubuf.
+    if (lzf_decompress(cbuf.data(), comp, ubuf.data(), uncomp) != (long)uncomp) {
       fclose(f); return -4;
     }
     // compressed PCD is SOA: all of field 0, then field 1, ...
@@ -216,6 +220,11 @@ long pcd_read(const char* path, float* out, long max_pts) {
       if ((int)i == yi) yo = soa_off;
       if ((int)i == zi) zo = soa_off;
       soa_off += (long)h.sizes[i] * h.counts[i] * n;
+    }
+    if (xo + (long)h.sizes[xi] * n > (long)uncomp ||
+        yo + (long)h.sizes[yi] * n > (long)uncomp ||
+        zo + (long)h.sizes[zi] * n > (long)uncomp) {
+      fclose(f); return -4;
     }
     for (long p = 0; p < n; ++p) {
       out[p * 3 + 0] = field_as_float(ubuf.data() + xo + p * h.sizes[xi], h.types[xi], h.sizes[xi]);

@@ -87,35 +87,79 @@ def dir_source(path: str) -> tuple[list[str], "callable"]:
     return ids, load
 
 
+def _decode_msgpack_array(obj):
+    """Decode one msgpack-numpy-encoded object to an ndarray.
+
+    tensorpack's LMDBSerializer (`data_util.py:73-87` reads its output)
+    serialises datapoints with msgpack + the msgpack_numpy extension, which
+    wraps each ndarray as ``{b'nd': True, b'type': dtype_str,
+    b'shape': [...], b'data': bytes}``. Decoding that layout directly keeps
+    this a pure, fixture-testable function with no msgpack_numpy dependency.
+    Non-array objects pass through unchanged.
+    """
+    if isinstance(obj, dict):
+        for nd_key, type_key, shape_key, data_key in (
+            (b"nd", b"type", b"shape", b"data"),
+            ("nd", "type", "shape", "data"),
+        ):
+            if obj.get(nd_key) is True and data_key in obj:
+                return np.frombuffer(
+                    obj[data_key], dtype=np.dtype(obj[type_key])
+                ).reshape(obj[shape_key])
+    return obj
+
+
+def decode_datapoint(raw: bytes):
+    """Decode one LMDBSerializer value: a msgpack list ``[id, partial, gt]``
+    with msgpack-numpy arrays. Returns (id str, partial (p,3), gt (g,3))."""
+    import msgpack  # noqa: PLC0415
+
+    dp = msgpack.unpackb(raw, raw=False, strict_map_key=False)
+    dp = [_decode_msgpack_array(x) for x in dp]
+    ident = dp[0]
+    if isinstance(ident, bytes):
+        ident = ident.decode("utf-8")
+    return ident, np.asarray(dp[1]), np.asarray(dp[2])
+
+
+def decode_key_list(keys_raw: bytes | None, cursor_keys=None):
+    """LMDBSerializer key handling: the ordered datapoint key list is
+    msgpack'd under ``b'__keys__'``; when absent, fall back to cursor order
+    with the meta key excluded."""
+    if keys_raw is not None:
+        import msgpack  # noqa: PLC0415
+
+        return list(msgpack.unpackb(keys_raw, raw=False, strict_map_key=False))
+    return [k for k in (cursor_keys or []) if k != b"__keys__"]
+
+
 def _lmdb_items(lmdb_path: str):
-    """Iterate a tensorpack LMDBSerializer database: msgpack datapoints keyed
-    by index, with the key list under '__keys__' (gated on lmdb install)."""
+    """Iterate a tensorpack LMDBSerializer database (gated on lmdb install);
+    the untestable-without-lmdb part is just this cursor — decode and key
+    ordering live in the pure functions above."""
     try:
         import lmdb  # noqa: PLC0415
-        import msgpack  # noqa: PLC0415
-        import msgpack_numpy  # noqa: PLC0415
-
-        msgpack_numpy.patch()
     except ImportError as e:  # pragma: no cover - environment dependent
         raise ImportError(
-            "reading the PCN .lmdb dataset needs the `lmdb` package (and "
-            "msgpack-numpy); convert once with rfnet_tpu.data.convert or use "
-            "--synthetic / an .npz directory instead"
+            "reading the PCN .lmdb dataset needs the `lmdb` package; convert "
+            "once with rfnet_tpu.data.convert or use --synthetic / an .npz "
+            "directory instead"
         ) from e
     env = lmdb.open(
         lmdb_path, subdir=os.path.isdir(lmdb_path), readonly=True, lock=False
     )
     with env.begin() as txn:
-        keys_raw = txn.get(b"__keys__")
-        keys = msgpack.unpackb(keys_raw, raw=False) if keys_raw else None
-        if keys is None:
-            keys = [k for k, _ in txn.cursor() if k != b"__keys__"]
+        keys = decode_key_list(
+            txn.get(b"__keys__"), (k for k, _ in txn.cursor())
+        )
         size = len(keys)
 
     def load(i: int):
+        key = keys[i]
+        if isinstance(key, str):
+            key = key.encode("utf-8")
         with env.begin() as txn:
-            dp = msgpack.unpackb(txn.get(keys[i]), raw=False)
-        return dp[0], np.asarray(dp[1]), np.asarray(dp[2])
+            return decode_datapoint(txn.get(key))
 
     return size, load
 
@@ -189,14 +233,26 @@ class BatchedDataflow:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checking_stop(item) -> bool:
+            # Never block indefinitely in `put`: an abandoned iterator (e.g. a
+            # fresh eval iterator per checkpoint) sets `stop` and walks away,
+            # and a worker parked in a full queue's `put` would leak the
+            # thread plus `prefetch` buffered batches forever.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for item in self._batches():
-                    if stop.is_set():
+                    if not put_checking_stop(item):
                         return
-                    q.put(item)
             finally:
-                q.put(None)
+                put_checking_stop(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -119,7 +119,9 @@ def zero_groupnear(ptcens: jax.Array, rawpts: jax.Array, outmat: jax.Array) -> j
 
 
 def piecewise_constant(step, boundaries, values):
-    idx = jnp.sum(jnp.asarray(step) >= jnp.asarray(boundaries))
+    # TF's tf.train.piecewise_constant keeps the EARLIER value through
+    # `step <= boundary` (vv_recon.py:479-482), hence strict >.
+    idx = jnp.sum(jnp.asarray(step) > jnp.asarray(boundaries))
     return jnp.asarray(values)[idx]
 
 

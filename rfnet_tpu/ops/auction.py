@@ -85,11 +85,21 @@ def _auction_single(x1: jax.Array, x2: jax.Array, max_rounds: int):
         jnp.int32(0),
     )
     assign, owner, _, _, _ = lax.while_loop(cond, round_step, init)
-    # Safety for the bounded-iteration cutoff: park any stragglers on the
-    # remaining objects (greedy by index) so outputs are always permutations.
-    assign = jnp.where(assign < 0, 0, assign)
-    matchl = assign
-    matchr = jnp.zeros((n,), jnp.int32).at[matchl].set(jnp.arange(n, dtype=jnp.int32))
+    # Safety for the bounded-iteration cutoff: pair the i-th (by index)
+    # unassigned bidder with the i-th unclaimed object. The auction invariant
+    # (each object owned by at most one bidder) makes the two sets equal in
+    # size, so matchl/matchr are ALWAYS true permutations — the contract of
+    # `tf_ops/emd/tf_auctionmatch.py:11-20`.
+    iota = jnp.arange(n, dtype=jnp.int32)
+    unassigned = assign < 0
+    claimed = (
+        jnp.zeros((n,), bool).at[jnp.where(unassigned, n, assign)].set(True, mode="drop")
+    )
+    bidder_rank = jnp.cumsum(unassigned.astype(jnp.int32)) - 1  # rank among stragglers
+    unclaimed_sorted = jnp.sort(jnp.where(claimed, n, iota))  # unclaimed idxs first
+    fill = unclaimed_sorted[jnp.clip(bidder_rank, 0, n - 1)].astype(jnp.int32)
+    matchl = jnp.where(unassigned, fill, assign)
+    matchr = jnp.zeros((n,), jnp.int32).at[matchl].set(iota)
     return matchl, matchr
 
 

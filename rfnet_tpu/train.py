@@ -179,6 +179,8 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
     metrics_path = os.path.join("logs", "metrics.jsonl")
     tb = _tb_writer("logs")
     train_gen = iter(train_df)
+    valid_iter = iter(valid_df)
+    n_devices = mesh.size if mesh is not None else 1
     best_cd = float("inf")
     t_last = time.perf_counter()
     start = int(state.step)
@@ -212,10 +214,22 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
                     for k, v in lb_host._asdict().items():
                         tf.summary.scalar(f"loss/{k}", v)
                     tf.summary.scalar("throughput/clouds_per_sec", rate)
+                    # per-weight/bias histograms at the same 500-step cadence
+                    # the reference merges its tf.summary.histogram calls
+                    # (vv_recon.py:36,42,432-434)
+                    for path, leaf in jax.tree_util.tree_flatten_with_path(
+                        state.params
+                    )[0]:
+                        name = jax.tree_util.keystr(path).strip("[]").replace(
+                            "']['", "/"
+                        ).strip("'")
+                        tf.summary.histogram(name, np.asarray(leaf))
         if (i + 1) % config.ckpt_every == 0:
             mgr.save(i + 1, args=ocp.args.StandardSave(state))
             mgr.wait_until_finished()
-            mean_cd, mean_emd = evaluate(jeval, state, valid_df, valid_num, config)
+            mean_cd, mean_emd = evaluate(
+                jeval, state, valid_iter, valid_num, config, n_devices
+            )
             print(f"eval @ {i + 1}: mean cd {mean_cd:.6f} mean emd {mean_emd:.6f}")
             if mean_cd < best_cd:
                 best_cd = mean_cd
@@ -238,12 +252,32 @@ def _tb_writer(logdir: str):
         return None
 
 
-def evaluate(jeval, state, valid_df, valid_num: int, config: TrainConfig):
-    gen = iter(valid_df)
+def _tile_for_devices(arr: np.ndarray, n_devices: int) -> np.ndarray:
+    """Repeat the batch k times so it dp-shards over n_devices.
+
+    Every row appears exactly k times, so any per-batch MEAN metric is
+    unchanged — this keeps eval batches (default 4) shardable over larger
+    meshes (e.g. 8 devices) with exact metric parity.
+    """
+    b = arr.shape[0]
+    if n_devices <= 1 or b % n_devices == 0:
+        return arr
+    import math
+
+    k = n_devices // math.gcd(b, n_devices)
+    return np.tile(arr, (k,) + (1,) * (arr.ndim - 1))
+
+
+def evaluate(jeval, state, valid_iter, valid_num: int, config: TrainConfig,
+             n_devices: int = 1):
+    """valid_iter is a persistent iterator (one prefetch thread for the whole
+    run, not one per eval)."""
     cds, emds = [], []
     for _ in range(max(1, valid_num // config.eval_size)):
-        _, batch_point, _, output_point = next(gen)
-        cd, emd = jeval(state, jnp.asarray(batch_point), jnp.asarray(output_point))
+        _, batch_point, _, output_point = next(valid_iter)
+        partial = _tile_for_devices(np.asarray(batch_point), n_devices)
+        gt = _tile_for_devices(np.asarray(output_point), n_devices)
+        cd, emd = jeval(state, jnp.asarray(partial), jnp.asarray(gt))
         cds.append(float(cd))
         emds.append(float(emd))
     return float(np.mean(cds)), float(np.mean(emds))

@@ -1,8 +1,14 @@
 """Matplotlib point-cloud renders — the `visu_util.py` capability.
 
-`plot_pcd_three_views` reproduces the reference contract
-(`visu_util.py:34-67`): for each cloud in `pcds`, render 3 azimuths
-(-30/30/90 elevation 30) into one figure saved at `filename`.
+`plot_pcd_three_views` reproduces the LIVE reference contract
+(`visu_util.py:34-67`): it writes a FOLDER named after the file stem
+containing one PNG per (title, view) — `<title>_<i>.png` for views i=0..2 at
+elevation 30 and azimuths −45/45/135 — cmap `inferno`, point size 5, colour =
+x coordinate. `plot_pcd_atten_views` (`visu_util.py:68-117`) takes a
+per-point colour list; points whose colour equals −1.0 are highlight markers,
+re-drawn enlarged (s=50, alpha=1) over the s=20/alpha=0.5 base scatter.
+`plot_pcd_three_views_combined` keeps this framework's single-figure grid as
+an extra (not the reference default).
 """
 
 from __future__ import annotations
@@ -12,13 +18,21 @@ import os
 import numpy as np
 
 
+def _folder_for(filename: str) -> str:
+    # the reference derives the output folder as filename.split('.')[0]
+    # (`visu_util.py:39`) — the stem up to the FIRST dot
+    folder = filename.split(".")[0]
+    os.makedirs(folder, exist_ok=True)
+    return folder
+
+
 def plot_pcd_three_views(
     filename: str,
     pcds,
     titles,
     suptitle: str = "",
     sizes=None,
-    cmap: str = "Reds",
+    cmap: str = "inferno",
     zdir: str = "y",
     xlim=(-0.3, 0.3),
     ylim=(-0.3, 0.3),
@@ -29,11 +43,59 @@ def plot_pcd_three_views(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    # the reference overrides the sizes argument to 5 (`visu_util.py:37`)
+    sizes = [5 for _ in pcds]
+    folder = _folder_for(filename)
+    for i in range(3):
+        elev, azim = 30, -45 + 90 * i
+        for j, (pcd, size) in enumerate(zip(pcds, sizes)):
+            pcd = np.asarray(pcd)
+            fig = plt.figure()
+            out = os.path.join(folder, "%s_%s.png" % (titles[j], str(i)))
+            color = pcd[:, 0]
+            ax = fig.add_subplot(projection="3d")
+            ax.view_init(elev, azim)
+            ax.scatter(
+                pcd[:, 0], pcd[:, 1], pcd[:, 2], zdir=zdir, c=color, s=size,
+                cmap=cmap, vmin=-1, vmax=0.5,
+            )
+            ax.set_axis_off()
+            ax.set_xlim(xlim)
+            ax.set_ylim(ylim)
+            ax.set_zlim(zlim)
+            plt.subplots_adjust(
+                left=0.0, right=1.0, bottom=0.0, top=1.0, wspace=0.0, hspace=0.0
+            )
+            plt.suptitle(suptitle)
+            fig.savefig(out)
+            plt.close(fig)
+
+
+def plot_pcd_three_views_combined(
+    filename: str,
+    pcds,
+    titles,
+    suptitle: str = "",
+    sizes=None,
+    cmap: str = "inferno",
+    zdir: str = "y",
+    xlim=(-0.3, 0.3),
+    ylim=(-0.3, 0.3),
+    zlim=(-0.3, 0.3),
+):
+    """One figure with a 3×len(pcds) grid — this framework's compact extra
+    (the shape of the reference's commented-out variant, `visu_util.py:8-33`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
     if sizes is None:
         sizes = [0.5 for _ in pcds]
     fig = plt.figure(figsize=(len(pcds) * 3, 9))
     elev = 30
-    for i, (azim_idx, azim) in enumerate([(0, -30), (1, 30), (2, 90)]):
+    for i in range(3):
+        azim = -45 + 90 * i
         for j, (pcd, size) in enumerate(zip(pcds, sizes)):
             pcd = np.asarray(pcd)
             color = pcd[:, 0]
@@ -102,14 +164,30 @@ def render_balls(
         )
         return img
 
-    # numpy fallback: nearest-wins z-buffer with a square splat
-    order = np.argsort(z)
-    for i in order:
-        x0, y0 = int(xy[i, 0]), int(xy[i, 1])
-        x1, x2 = max(0, x0 - radius), min(image_size, x0 + radius + 1)
-        y1, y2 = max(0, y0 - radius), min(image_size, y0 + radius + 1)
-        if x1 < x2 and y1 < y2:
-            img[x1:x2, y1:y2] = np.clip(colors[i], 0, 255).astype(np.uint8)
+    # numpy fallback: same sphere-sprite math as the native path — per-pixel
+    # depth z + dz with dz = √(r²−dx²−dy²), colour scaled by (dz/r) and the
+    # global depth-range intensity (render_balls_so.cpp:18-29,49-52)
+    r = max(radius, 1)
+    dx, dy = np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1), indexing="ij")
+    disc = dx * dx + dy * dy < r * r
+    dxs, dys = dx[disc], dy[disc]
+    dzs = np.sqrt(r * r - dxs * dxs - dys * dys)
+    shade = dzs / r
+    dzi = dzs.astype(np.int64)
+    zmin, zmax = float(z.min() - r), float(z.max() + r)
+    zrange = max(zmax - zmin, 1e-9)
+    depth = np.full((image_size, image_size), -(2**31), np.int64)
+    for i in range(len(pts)):
+        px, py, pz = xy[i, 0] + dxs, xy[i, 1] + dys, z[i] + dzi
+        ok = (px >= 0) & (px < image_size) & (py >= 0) & (py < image_size)
+        px, py, pz, sh = px[ok], py[ok], pz[ok], shade[ok]
+        upd = pz > depth[px, py]
+        px, py, pz, sh = px[upd], py[upd], pz[upd], sh[upd]
+        depth[px, py] = pz
+        intensity = np.minimum(1.0, (pz - zmin) / zrange * 0.7 + 0.3)
+        img[px, py] = np.clip(
+            colors[i][None, :] * (sh * intensity)[:, None], 0, 255
+        ).astype(np.uint8)
     return img
 
 
@@ -144,30 +222,58 @@ def _render_lib():
 
 
 def plot_pcd_atten_views(
-    filename: str, pcds, attens, titles, suptitle: str = "", sizes=None
+    filename: str,
+    pcds,
+    titles,
+    colorlist=None,
+    sizes=None,
+    cmap: str = "inferno",
+    zdir: str = "y",
+    xlim=(-0.3, 0.3),
+    ylim=(-0.3, 0.3),
+    zlim=(-0.3, 0.3),
 ):
-    """Attention-coloured variant (`visu_util.py:68-117`): point colour comes
-    from a per-point scalar instead of the x coordinate."""
+    """Per-point-coloured views (`visu_util.py:68-117`): one PNG per
+    (title, view) in a folder named after the file stem; colour comes from
+    `colorlist[j]` (default: the x coordinate); points whose colour is
+    exactly −1.0 are markers, drawn enlarged at s=50/alpha=1 on top of the
+    s=20/alpha=0.5 base scatter."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    if sizes is None:
-        sizes = [0.5 for _ in pcds]
-    fig = plt.figure(figsize=(len(pcds) * 3, 9))
-    for i, azim in enumerate([-30, 30, 90]):
-        for j, (pcd, att, size) in enumerate(zip(pcds, attens, sizes)):
+    folder = _folder_for(filename)
+    for i in range(3):
+        elev, azim = 30, -45 + 90 * i
+        for j, pcd in enumerate(pcds):
             pcd = np.asarray(pcd)
-            ax = fig.add_subplot(3, len(pcds), i * len(pcds) + j + 1, projection="3d")
-            ax.view_init(30, azim)
+            if colorlist is None:
+                color = pcd[:, 0]
+            else:
+                color = np.asarray(colorlist[j]).reshape(-1)
+            idx = color == -1.0
+            pt_sizes = np.ones_like(color, dtype=np.float64) * 20
+            pt_sizes[idx] = 50
+            fig = plt.figure()
+            out = os.path.join(folder, "%s_%s.png" % (titles[j], str(i)))
+            ax = fig.add_subplot(projection="3d")
+            ax.view_init(elev, azim)
             ax.scatter(
-                pcd[:, 0], pcd[:, 1], pcd[:, 2], zdir="y",
-                c=np.asarray(att).reshape(-1), s=size, cmap="jet",
+                pcd[:, 0], pcd[:, 1], pcd[:, 2], zdir=zdir, c=color,
+                s=pt_sizes, cmap=cmap, vmin=-1.0, vmax=0.5, alpha=0.5,
             )
-            ax.set_title(titles[j])
+            ax.scatter(
+                pcd[idx, 0], pcd[idx, 1], pcd[idx, 2], zdir=zdir,
+                c=-1 * np.ones_like(pcd[idx, 0]), s=50, cmap=cmap,
+                vmin=-1.0, vmax=0.5, alpha=1,
+            )
             ax.set_axis_off()
-    plt.suptitle(suptitle)
-    os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
-    fig.savefig(filename)
-    plt.close(fig)
+            ax.set_xlim(xlim)
+            ax.set_ylim(ylim)
+            ax.set_zlim(zlim)
+            plt.subplots_adjust(
+                left=0.0, right=1.0, bottom=0.0, top=1.0, wspace=0.0, hspace=0.0
+            )
+            fig.savefig(out)
+            plt.close(fig)

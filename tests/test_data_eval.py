@@ -96,11 +96,76 @@ def test_eval_cli_end_to_end(tmp_path, rng):
         for row in rows[1:]:
             mid, cd, emd = row.split(",")
             assert mid in ids and float(cd) > 0 and float(emd) > 0
-        # plots written at plot_freq cadence (i = 0, 2)
-        assert os.path.exists(os.path.join(results_dir, "plots", "0001", "a.png"))
-        assert os.path.exists(os.path.join(results_dir, "plots", "0002", "c.png"))
+        # plots written at plot_freq cadence (i = 0, 2); the reference
+        # contract (visu_util.py:34-67) writes a FOLDER named after the
+        # file stem with one PNG per (title, view)
+        for stem in [("0001", "a"), ("0002", "c")]:
+            folder = os.path.join(results_dir, "plots", *stem)
+            assert sorted(os.listdir(folder)) == sorted(
+                f"{t}_{i}.png"
+                for t in ["input", "output", "ground truth"]
+                for i in range(3)
+            )
     finally:
         eval_mod.TrainConfig = orig
+
+
+def test_lmdb_datapoint_decode_fixture(rng):
+    """Byte-level fixture mirroring tensorpack LMDBSerializer's msgpack +
+    msgpack-numpy layout (`data_util.py:73-87` reads it), so the lmdb decode
+    layer is fully tested without lmdb installed — only the ~10-line cursor
+    in `_lmdb_items` is environment-gated."""
+    import msgpack
+
+    from rfnet_tpu.data.dataset import decode_datapoint, decode_key_list
+
+    def enc_arr(a):  # msgpack_numpy's ndarray wire format
+        return {
+            b"nd": True, b"type": a.dtype.str,
+            b"shape": list(a.shape), b"data": a.tobytes(),
+        }
+
+    partial = rng.rand(40, 3).astype(np.float32)
+    gt = rng.rand(128, 3).astype(np.float32)
+    raw = msgpack.packb(
+        ["02691156/abc", enc_arr(partial), enc_arr(gt)], use_bin_type=True
+    )
+    ident, p, g = decode_datapoint(raw)
+    assert ident == "02691156/abc"
+    np.testing.assert_array_equal(p, partial)
+    np.testing.assert_array_equal(g, gt)
+
+    # ordered __keys__ list, and the cursor fallback excluding the meta key
+    keys = [f"{i:08d}".encode("ascii") for i in range(5)]
+    assert decode_key_list(msgpack.packb(keys, use_bin_type=True)) == keys
+    assert decode_key_list(None, keys + [b"__keys__"]) == keys
+
+
+def test_visu_contract(tmp_path, rng):
+    """File-tree + pixel sanity for both reference plot contracts
+    (visu_util.py:34-67 and :68-117)."""
+    from rfnet_tpu.visu import plot_pcd_atten_views, plot_pcd_three_views
+
+    pcds = [rng.rand(50, 3).astype(np.float32) * 0.4 - 0.2 for _ in range(2)]
+    fn = os.path.join(tmp_path, "model.png")
+    plot_pcd_three_views(fn, pcds, ["input", "output"], "sup")
+    folder = os.path.join(tmp_path, "model")
+    assert sorted(os.listdir(folder)) == sorted(
+        f"{t}_{i}.png" for t in ["input", "output"] for i in range(3)
+    )
+    # pixel sanity: non-trivial renders, and the three azimuths differ
+    views = [open(os.path.join(folder, f"input_{i}.png"), "rb").read() for i in range(3)]
+    assert all(len(v) > 1000 for v in views)
+    assert views[0] != views[1] != views[2]
+
+    colors = [np.zeros(50, np.float32), np.zeros(50, np.float32)]
+    colors[0][:5] = -1.0  # highlight markers, drawn enlarged
+    fn2 = os.path.join(tmp_path, "atten.png")
+    plot_pcd_atten_views(fn2, pcds, ["a", "b"], colorlist=colors)
+    folder2 = os.path.join(tmp_path, "atten")
+    assert sorted(os.listdir(folder2)) == sorted(
+        f"{t}_{i}.png" for t in ["a", "b"] for i in range(3)
+    )
 
 
 def test_render_balls(rng):
@@ -110,6 +175,29 @@ def test_render_balls(rng):
     img = render_balls(pts, image_size=128, radius=2)
     assert img.shape == (128, 128, 3) and img.dtype == np.uint8
     assert img.max() > 0  # something was drawn
+
+
+def test_render_balls_sphere_shading():
+    """Balls are shaded spheres (dz/r falloff + depth intensity,
+    render_balls_so.cpp:18-29,49-52), not flat discs — and the native and
+    numpy paths agree."""
+    from rfnet_tpu import visu
+
+    pts = np.array([[0.5, 0.5, 0.5]])
+    col = np.array([[255, 255, 255]])
+    img_native = visu.render_balls(pts, image_size=64, radius=8, colors=col)
+    saved = list(visu._render_cache)
+    visu._render_cache[:] = [None]  # force the numpy fallback
+    try:
+        img_np = visu.render_balls(pts, image_size=64, radius=8, colors=col)
+    finally:
+        visu._render_cache[:] = saved
+    for img in (img_native, img_np):
+        lit = img[..., 0][img[..., 0] > 0]
+        assert lit.size and int(lit.min()) < int(lit.max()), "flat splat"
+    np.testing.assert_allclose(
+        img_native.astype(int), img_np.astype(int), atol=1
+    )
 
 
 def test_grain_pipeline_contract():

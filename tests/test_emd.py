@@ -60,10 +60,12 @@ def test_transport_plan_invariants(rng):
     match = np.asarray(approx_match(x1, x2))[0]
     mult_l, mult_r = 1.0, n // m
     assert match.min() >= 0
-    assert np.all(match.sum(axis=0) <= mult_l + 1e-4)  # per-xyz1 mass
-    assert np.all(match.sum(axis=1) <= mult_r + 1e-4)  # per-xyz2 mass
-    # the plan should move essentially all the mass
-    assert match.sum() >= 0.98 * n * mult_l
+    # After the λ=0 final level (w ≡ 1, `tf_approxmatch.cu:21-130`) every
+    # point's remaining capacity moves: per-point mass is EQUAL to its
+    # capacity, not merely bounded by it — the property `earth_mover`'s
+    # cost normalisation assumes.
+    np.testing.assert_allclose(match.sum(axis=0), mult_l, atol=1e-4)  # per-xyz1
+    np.testing.assert_allclose(match.sum(axis=1), mult_r, atol=1e-4)  # per-xyz2
 
 
 def test_chunked_path_matches_full(rng):
@@ -129,6 +131,21 @@ def test_auction_recovers_noised_permutation(rng):
     for b in range(2):
         assert sorted(matchl[b].tolist()) == list(range(n))
         np.testing.assert_array_equal(np.asarray(matchr)[b][matchl[b]], np.arange(n))
+
+
+def test_auction_cutoff_yields_permutations(rng):
+    """Forcing the bounded-iteration cutoff (max_rounds=1) must still produce
+    true inverse permutations — stragglers are parked on UNCLAIMED objects,
+    never piled onto object 0 (the `tf_auctionmatch.py:11-20` contract)."""
+    n = 32
+    x1 = rng.rand(2, n, 3).astype(np.float32)
+    x2 = rng.rand(2, n, 3).astype(np.float32)
+    matchl, matchr = auction_match(jnp.asarray(x1), jnp.asarray(x2), max_rounds=1)
+    matchl, matchr = np.asarray(matchl), np.asarray(matchr)
+    for b in range(2):
+        assert sorted(matchl[b].tolist()) == list(range(n))
+        assert sorted(matchr[b].tolist()) == list(range(n))
+        np.testing.assert_array_equal(matchr[b][matchl[b]], np.arange(n))
 
 
 def test_emd_func_api_parity(rng):

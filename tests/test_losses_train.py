@@ -42,11 +42,13 @@ def test_re_chamfer_contiguous_slices(rng):
 
 
 def test_schedules_match_reference():
-    # vv_recon.py:479-482 piecewise boundaries
-    for step, lr in [(0, 5e-4), (49_999, 5e-4), (50_000, 2e-4), (99_999, 2e-4),
-                     (100_000, 2e-4), (150_000, 1e-4), (200_000, 1e-5)]:
+    # vv_recon.py:479-482 piecewise boundaries; TF keeps the earlier value
+    # through step <= boundary (boundary-inclusive)
+    for step, lr in [(0, 5e-4), (50_000, 5e-4), (50_001, 2e-4), (100_000, 2e-4),
+                     (150_000, 2e-4), (150_001, 1e-4), (200_000, 1e-4),
+                     (200_001, 1e-5)]:
         np.testing.assert_allclose(float(losses.learning_rate(step)), lr, rtol=1e-6)
-    for step, a1 in [(0, 0.01), (149_999, 0.01), (150_000, 0.001)]:
+    for step, a1 in [(0, 0.01), (150_000, 0.01), (150_001, 0.001)]:
         np.testing.assert_allclose(float(losses.decfactor_weight(step)), a1, rtol=1e-6)
 
 
@@ -110,6 +112,28 @@ def test_train_step_dp_mesh(rng):
     np.testing.assert_allclose(float(lb.total), float(lb1.total), rtol=1e-4)
     cd, emd = jeval(state2, partial, gt)
     assert np.isfinite(float(cd)) and np.isfinite(float(emd))
+
+
+def test_eval_batch_tiling_on_mesh(rng):
+    """Regression: the default eval batch (4) is smaller than an 8-device
+    mesh; `_tile_for_devices` repeats it to a shardable size with EXACTLY
+    unchanged mean metrics (every row appears the same number of times)."""
+    from rfnet_tpu.parallel import make_mesh
+    from rfnet_tpu.train import _tile_for_devices
+
+    config = dataclasses.replace(_tiny_config(), batch_size=8, eval_size=4)
+    mesh = make_mesh(8)
+    state = create_state(config)
+    _, jeval = make_jitted_steps(config, mesh)
+    gt = rng.rand(4, config.ptnum, 3).astype(np.float32)
+    partial = np.ascontiguousarray(gt[:, : config.innum])
+    tp, tg = _tile_for_devices(partial, 8), _tile_for_devices(gt, 8)
+    assert tp.shape[0] % 8 == 0
+    cd_t, emd_t = jeval(state, jnp.asarray(tp), jnp.asarray(tg))
+    _, jeval1 = make_jitted_steps(config)
+    cd1, emd1 = jeval1(state, jnp.asarray(partial), jnp.asarray(gt))
+    np.testing.assert_allclose(float(cd_t), float(cd1), rtol=1e-4)
+    np.testing.assert_allclose(float(emd_t), float(emd1), rtol=1e-3)
 
 
 def test_model_applies_at_flagship_shapes_abstractly():
