@@ -11,6 +11,8 @@ Baseline: the BASELINE.json north star is >=5000 clouds/s on a v4-8 (4 chips)
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -20,12 +22,40 @@ import numpy as np
 BASELINE_CLOUDS_PER_SEC_PER_CHIP = 1250.0
 
 
+def _load_trained(state):
+    """Restore the newest local checkpoint (best-by-CD preferred) so the
+    bench exercises trained weights — a trained merge layer's
+    exp(−d²/decfactor²) reroute traffic differs from random-init. Falls back
+    to random init when no checkpoint exists (throughput is shape-dominated,
+    so the number stays valid either way)."""
+    for d in ("./bestrecord", "./modelvv_recon"):
+        try:
+            import orbax.checkpoint as ocp
+
+            from rfnet_tpu.train import _abstract
+
+            mgr = ocp.CheckpointManager(os.path.abspath(d))
+            latest = mgr.latest_step()
+            if latest is None:
+                continue
+            restored = mgr.restore(
+                latest, args=ocp.args.StandardRestore(_abstract(state))
+            )
+            print(f"bench weights: {d} step {latest}", file=sys.stderr)
+            return restored
+        except Exception:
+            continue
+    print("bench weights: random init (no checkpoint found)", file=sys.stderr)
+    return state
+
+
 def main():
     from rfnet_tpu.models import RFNet
     from rfnet_tpu.train import TrainConfig, create_state
 
     config = TrainConfig()
     state = create_state(config, RFNet())
+    state = _load_trained(state)
 
     batch = 32
     rng = np.random.RandomState(0)

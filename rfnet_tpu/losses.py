@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from rfnet_tpu.ops.chamfer import nn_distance
-from rfnet_tpu.ops.emd import approx_match, match_cost
+from rfnet_tpu.ops.emd import approx_match, approx_match_cost, match_cost
 
 
 @jax.custom_jvp
@@ -72,6 +72,15 @@ def earth_mover(pcd1: jax.Array, pcd2: jax.Array) -> jax.Array:
     return jnp.mean(cost / num_points)
 
 
+def earth_mover_eval(pcd1: jax.Array, pcd2: jax.Array) -> jax.Array:
+    """`earth_mover` for no-gradient contexts (eval_one_batch,
+    vv_recon.py:445-459): same value via the fused plan-free recurrence —
+    the (b, m, n) transport plan (4 GiB at the 16384² eval shape) is never
+    materialised. Exact up to fp summation order."""
+    assert pcd1.shape[1] == pcd2.shape[1], "earth_mover requires equal sizes"
+    return jnp.mean(approx_match_cost(pcd1, pcd2) / float(pcd1.shape[1]))
+
+
 def emd_func(pred: jax.Array, gt: jax.Array) -> jax.Array:
     """Radius-normalised exact-assignment EMD via auction matching
     (`vv_recon.py:365-380`). Dead code in the reference train/test path;
@@ -89,14 +98,18 @@ def emd_func(pred: jax.Array, gt: jax.Array) -> jax.Array:
 
 
 def re_chamfer(gt: jax.Array, pred: jax.Array, part: int = 8) -> jax.Array:
-    """CD averaged over `part` contiguous 1/part index slices (vv_recon.py:171-193)."""
-    n = gt.shape[1]
+    """CD averaged over `part` contiguous 1/part index slices (vv_recon.py:171-193).
+
+    The slices are independent equal-size sub-problems, so they FOLD INTO THE
+    BATCH AXIS: one (b·part, n/part)² kernel call instead of `part` sequential
+    ones (same arithmetic — the global mean over the folded batch equals the
+    average of per-slice means because every slice has equal size)."""
+    b, n, _ = gt.shape
     interval = n // part
-    total = 0.0
-    for i in range(part):
-        sl = slice(i * interval, (i + 1) * interval)
-        total = total + chamfer_big(pred[:, sl], gt[:, sl])[0]
-    return total / part
+    used = part * interval
+    gs = gt[:, :used].reshape(b * part, interval, 3)
+    ps = pred[:, :used].reshape(b * part, interval, 3)
+    return chamfer_big(ps, gs)[0]
 
 
 def groupin_near(ptmat: jax.Array) -> jax.Array:

@@ -199,6 +199,86 @@ def approx_match(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
     return _approx_match_chunked(xyz1, xyz2, chunk)
 
 
+def approx_match_cost(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    """Fused ``match_cost(xyz1, xyz2, approx_match(xyz1, xyz2))`` — EXACT,
+    non-differentiable, and plan-free.
+
+    The cost is linear in the plan, and the plan is the sum of per-level
+    deltas, so the cost can be accumulated level by level
+    (``cost += Σ δ_kl · ‖p1_k − p2_l‖``) while only the (b,n)/(b,m) remaining
+    capacities are carried — the (b, m, n) transport plan (4 GiB at the
+    16384² eval shape) is never materialised and never round-trips HBM on
+    each of the 10 levels. Same arithmetic as the reference recurrence
+    (`tf_approxmatch.cu:1-179` + `:183-225`), identical up to fp summation
+    order; use this for evaluation (`eval_one_batch`, vv_recon.py:445-459)
+    where no gradient or plan is needed.
+    """
+    xyz1 = lax.stop_gradient(xyz1.astype(jnp.float32))
+    xyz2 = lax.stop_gradient(xyz2.astype(jnp.float32))
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    multi_l, multi_r = _capacities(n, m)
+    chunk = min(_CHUNK, n)
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
+        # padded rows sit far away AND start with zero mass (see remain_l0)
+        xyz1 = jnp.pad(xyz1, ((0, 0), (0, n_pad - n), (0, 0)), constant_values=1e6)
+    n_chunks = n_pad // chunk
+
+    def w_tile(i, level):
+        x1c = _chunk_of(xyz1, i, chunk)
+        d2 = _sq_dists(x1c, xyz2)
+        return jnp.exp(level * d2), d2  # (b, chunk, m) each
+
+    def level_step(carry, level):
+        cost, remain_l, remain_r = carry
+
+        def p1(i, ratio_l):
+            w, _ = w_tile(i, level)
+            suml = 1e-9 + _mm(w, remain_r[:, :, None])[..., 0]
+            rlc = _chunk_of(remain_l, i, chunk) / suml
+            return lax.dynamic_update_slice_in_dim(ratio_l, rlc, i * chunk, axis=1)
+
+        ratio_l = lax.fori_loop(0, n_chunks, p1, jnp.zeros((b, n_pad), jnp.float32))
+
+        def p2(i, sumr):
+            w, _ = w_tile(i, level)
+            rlc = _chunk_of(ratio_l, i, chunk)
+            return sumr + _mm(w.transpose(0, 2, 1), rlc[:, :, None])[..., 0]
+
+        sumr = lax.fori_loop(0, n_chunks, p2, jnp.zeros((b, m), jnp.float32)) * remain_r
+        ratio_r = jnp.minimum(remain_r / (sumr + 1e-9), 1.0) * remain_r
+        remain_r = jnp.maximum(0.0, remain_r - sumr)
+
+        def p3(i, carry3):
+            cost, remain_l = carry3
+            w, d2 = w_tile(i, level)
+            rlc = _chunk_of(ratio_l, i, chunk)
+            delta = w * rlc[:, :, None] * ratio_r[:, None, :]  # (b, chunk, m)
+            cost = cost + jnp.sum(delta * jnp.sqrt(d2), axis=(1, 2))
+            rl_new = jnp.maximum(
+                0.0, _chunk_of(remain_l, i, chunk) - jnp.sum(delta, axis=2)
+            )
+            remain_l = lax.dynamic_update_slice_in_dim(
+                remain_l, rl_new, i * chunk, axis=1
+            )
+            return cost, remain_l
+
+        cost, remain_l = lax.fori_loop(0, n_chunks, p3, (cost, remain_l))
+        return (cost, remain_l, remain_r), None
+
+    remain_l0 = jnp.full((b, n_pad), multi_l, jnp.float32)
+    if n_pad != n:
+        remain_l0 = jnp.where(jnp.arange(n_pad)[None, :] < n, remain_l0, 0.0)
+    init = (
+        jnp.zeros((b,), jnp.float32),
+        remain_l0,
+        jnp.full((b, m), multi_r, jnp.float32),
+    )
+    (cost, _, _), _ = lax.scan(level_step, init, _levels())
+    return cost
+
+
 # ---------------------------------------------------------------------------
 # match_cost
 # ---------------------------------------------------------------------------

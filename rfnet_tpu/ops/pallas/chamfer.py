@@ -12,6 +12,17 @@ Layout note: distances are computed as a (TILE_M sublane × TILE_N lane) tile
 from xyz1 supplied coordinate-major (b, 3, n) and xyz2 point-major (b, m, 3),
 so both the per-coordinate broadcasts and the axis-0 min/argmin reductions map
 directly onto the VPU with no transposes.
+
+Variant study (tools/bench_chamfer_variants.py; v5e-1, 16384² b32, round 2):
+this kernel re-measured 49.4 ms; explicit fma-folding of the distance chain
+51.9 ms; equality-based argmin (min + masked-iota-min) 53.8 ms; both 53.8 ms
+— Mosaic already emits near-optimal code, so this formulation stays. The
+scan is VPU-compute-bound, NOT load-bound: batching cd3/cd4's four scans to
+share gt tiles (one 32768-query scan + one stacked-target scan) measured
+192.44 ms vs 192.37 ms for four separate dispatches — exactly zero gain —
+so the loss keeps independent calls. (Round-1 studies: MXU fp32 K=3 dot ~2×
+slower; fused bidirectional sweep 3.6× slower; bbox-pruned z-sorted variant
+in chamfer_pruned.py 64-77 ms.)
 """
 
 from __future__ import annotations

@@ -107,7 +107,7 @@ def eval_step(state: TrainState, partial: jax.Array, gt: jax.Array):
     """chamfer + emd of the final output (`eval_one_batch`, vv_recon.py:445-459)."""
     out = state.apply_fn(state.params, partial)
     cd, _ = losses.chamfer_big(gt, out.out4)
-    emd = losses.earth_mover(gt, out.out4)
+    emd = losses.earth_mover_eval(gt, out.out4)
     return cd, emd
 
 

@@ -79,6 +79,34 @@ def test_chunked_path_matches_full(rng):
     np.testing.assert_allclose(chunked, full, rtol=1e-3, atol=3e-4)
 
 
+def test_approx_match_cost_fused_equals_composed(rng):
+    """The plan-free fused cost must equal match_cost∘approx_match — on the
+    full path AND on a shape that exercises the chunked streaming with
+    padding (n % chunk != 0 via the internal pad)."""
+    from rfnet_tpu.ops.emd import approx_match_cost
+
+    for n, m in [(48, 48), (100, 36), (513, 513)]:
+        x1 = rng.rand(2, n, 3).astype(np.float32)
+        x2 = rng.rand(2, m, 3).astype(np.float32)
+        composed = match_cost(x1, x2, approx_match(x1, x2))
+        fused = approx_match_cost(jnp.asarray(x1), jnp.asarray(x2))
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(composed), rtol=2e-4, atol=1e-4
+        )
+
+
+def test_earth_mover_eval_matches_train_form(rng):
+    from rfnet_tpu import losses
+
+    x1 = rng.rand(2, 64, 3).astype(np.float32)
+    x2 = rng.rand(2, 64, 3).astype(np.float32)
+    np.testing.assert_allclose(
+        float(losses.earth_mover_eval(x1, x2)),
+        float(losses.earth_mover(x1, x2)),
+        rtol=2e-4,
+    )
+
+
 def test_match_cost_value_and_grad(rng):
     n, m = 24, 24
     x1 = jnp.asarray(rng.rand(2, n, 3).astype(np.float32))

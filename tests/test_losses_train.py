@@ -114,6 +114,30 @@ def test_train_step_dp_mesh(rng):
     assert np.isfinite(float(cd)) and np.isfinite(float(emd))
 
 
+def test_training_dynamics_regression_pin():
+    """Tolerance-banded pin of the synthetic training curve (fixed seeds,
+    deterministic data order): catches silent training-dynamics drift — a
+    dropped loss term, a changed schedule, an init change — without the PCN
+    dataset. Reference trajectory recorded on this config (CPU, seed 1,
+    synthetic seed 0): step0 0.61209, step9 0.45515, step29 0.43063."""
+    from rfnet_tpu.data.dataset import synthetic_dataflow
+
+    config = _tiny_config()
+    df, _ = synthetic_dataflow(16, config.batch_size, config.innum, config.ptnum, seed=0)
+    state = create_state(config)
+    jstep, _ = make_jitted_steps(config)
+    gen = iter(df)
+    expected = {0: 0.61209, 9: 0.45515, 29: 0.43063}
+    for i in range(30):
+        _, bp, _, op = next(gen)
+        state, lb, _ = jstep(state, jnp.asarray(bp), jnp.asarray(op))
+        if i in expected:
+            np.testing.assert_allclose(
+                float(lb.total), expected[i], rtol=0.08,
+                err_msg=f"training dynamics drifted at step {i}",
+            )
+
+
 def test_eval_batch_tiling_on_mesh(rng):
     """Regression: the default eval batch (4) is smaller than an 8-device
     mesh; `_tile_for_devices` repeats it to a shardable size with EXACTLY
