@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rfnet_tpu.ops.chamfer import nn_distance
+from rfnet_tpu.ops.chamfer import chamfer_means, nn_distance
 from rfnet_tpu.ops.emd import approx_match, approx_match_cost, match_cost
 
 
@@ -175,8 +175,13 @@ def total_loss(outputs, gt, gt1, gt2, step) -> LossBreakdown:
     """
     cd1 = earth_mover(gt1, outputs.points1_pre)
     cd2 = earth_mover(gt2, outputs.points2_pre)
-    cd3, _ = chamfer_big(gt, outputs.out3)
-    cd4, _ = chamfer_big(gt, outputs.out4)
+    # chamfer_big values without the (unused) indices: on TPU this dispatches
+    # to the sorted-space early-exit kernel (ops/chamfer.chamfer_means),
+    # ~4x faster than the dense 16384² scans that dominate the train step
+    m3a, m3b = chamfer_means(gt, outputs.out3)
+    m4a, m4b = chamfer_means(gt, outputs.out4)
+    cd3 = (m3a + m3b) / 2.0
+    cd4 = (m4a + m4b) / 2.0
     recd3 = re_chamfer(gt, outputs.out3, part=8)
     moveloss = jnp.mean(jnp.sum(outputs.final_move**2, axis=-1))
     loss = 0.2 * (cd1 + cd2) + cd3 + cd4 + 0.2 * recd3 + 0.1 * moveloss

@@ -131,20 +131,24 @@ def _approx_match_chunked(xyz1, xyz2, chunk, real_n=None):
     def level_step(carry, level):
         match, remain_l, remain_r = carry  # match (b, m, n)
 
-        def p1(i, ratio_l):
+        # ratio_l for chunk i is row-local and sumr accumulates per chunk, so
+        # both passes share ONE w tile (one exp + one matmul fewer per level)
+        def p12(i, carry12):
+            ratio_l, sumr = carry12
             w = w_tile(i, level)
             suml = 1e-9 + _mm(w, remain_r[:, :, None])[..., 0]
             rlc = _chunk_of(remain_l, i, chunk) / suml
-            return lax.dynamic_update_slice_in_dim(ratio_l, rlc, i * chunk, axis=1)
+            ratio_l = lax.dynamic_update_slice_in_dim(ratio_l, rlc, i * chunk, axis=1)
+            sumr = sumr + _mm(w.transpose(0, 2, 1), rlc[:, :, None])[..., 0]
+            return ratio_l, sumr
 
-        ratio_l = lax.fori_loop(0, n_chunks, p1, jnp.zeros((b, n), jnp.float32))
-
-        def p2(i, sumr):
-            w = w_tile(i, level)
-            rlc = _chunk_of(ratio_l, i, chunk)
-            return sumr + _mm(w.transpose(0, 2, 1), rlc[:, :, None])[..., 0]
-
-        sumr = lax.fori_loop(0, n_chunks, p2, jnp.zeros((b, m), jnp.float32)) * remain_r
+        ratio_l, sumr = lax.fori_loop(
+            0,
+            n_chunks,
+            p12,
+            (jnp.zeros((b, n), jnp.float32), jnp.zeros((b, m), jnp.float32)),
+        )
+        sumr = sumr * remain_r
         ratio_r = jnp.minimum(remain_r / (sumr + 1e-9), 1.0) * remain_r
         remain_r = jnp.maximum(0.0, remain_r - sumr)
 
@@ -233,20 +237,25 @@ def approx_match_cost(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
     def level_step(carry, level):
         cost, remain_l, remain_r = carry
 
-        def p1(i, ratio_l):
+        # passes 1+2 share one w tile: ratio_l is row-local per chunk and the
+        # sumr column accumulation is chunk-separable (identical arithmetic,
+        # one exp + one matmul pass fewer per level)
+        def p12(i, carry12):
+            ratio_l, sumr = carry12
             w, _ = w_tile(i, level)
             suml = 1e-9 + _mm(w, remain_r[:, :, None])[..., 0]
             rlc = _chunk_of(remain_l, i, chunk) / suml
-            return lax.dynamic_update_slice_in_dim(ratio_l, rlc, i * chunk, axis=1)
+            ratio_l = lax.dynamic_update_slice_in_dim(ratio_l, rlc, i * chunk, axis=1)
+            sumr = sumr + _mm(w.transpose(0, 2, 1), rlc[:, :, None])[..., 0]
+            return ratio_l, sumr
 
-        ratio_l = lax.fori_loop(0, n_chunks, p1, jnp.zeros((b, n_pad), jnp.float32))
-
-        def p2(i, sumr):
-            w, _ = w_tile(i, level)
-            rlc = _chunk_of(ratio_l, i, chunk)
-            return sumr + _mm(w.transpose(0, 2, 1), rlc[:, :, None])[..., 0]
-
-        sumr = lax.fori_loop(0, n_chunks, p2, jnp.zeros((b, m), jnp.float32)) * remain_r
+        ratio_l, sumr = lax.fori_loop(
+            0,
+            n_chunks,
+            p12,
+            (jnp.zeros((b, n_pad), jnp.float32), jnp.zeros((b, m), jnp.float32)),
+        )
+        sumr = sumr * remain_r
         ratio_r = jnp.minimum(remain_r / (sumr + 1e-9), 1.0) * remain_r
         remain_r = jnp.maximum(0.0, remain_r - sumr)
 

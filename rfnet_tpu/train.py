@@ -106,9 +106,11 @@ def train_step(state: TrainState, partial: jax.Array, gt: jax.Array, *, n1: int,
 def eval_step(state: TrainState, partial: jax.Array, gt: jax.Array):
     """chamfer + emd of the final output (`eval_one_batch`, vv_recon.py:445-459)."""
     out = state.apply_fn(state.params, partial)
-    cd, _ = losses.chamfer_big(gt, out.out4)
+    from rfnet_tpu.ops.chamfer import chamfer_means
+
+    ma, mb = chamfer_means(gt, out.out4)  # = chamfer_big value, no indices
     emd = losses.earth_mover_eval(gt, out.out4)
-    return cd, emd
+    return (ma + mb) / 2.0, emd
 
 
 def make_jitted_steps(config: TrainConfig, mesh=None):

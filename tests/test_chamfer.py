@@ -94,6 +94,100 @@ def test_grad_descent_pulls_clouds_together(rng):
     assert float(l) < 0.5 * float(l0)
 
 
+def test_dyn_kernel_interpret_matches_bruteforce(rng):
+    """Early-exit slab NN scan: exact distances AND exact lowest-index ties
+    (interpret mode on CPU; on-chip timing in tools/bench_chamfer_dyn.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rfnet_tpu.ops.chamfer import nearest_neighbor_dyn
+
+    cases = []
+    # structured blobs, ragged sizes
+    centers = rng.randn(6, 3).astype(np.float32)
+    for n, m in [(70, 150), (300, 520)]:
+        q = (centers[rng.randint(0, 6, n)] + 0.1 * rng.randn(n, 3)).astype(np.float32)[None]
+        t = (centers[rng.randint(0, 6, m)] + 0.1 * rng.randn(m, 3)).astype(np.float32)[None]
+        cases.append((q, t))
+    # exact duplicated targets force distance ties: the kernel must return the
+    # LOWEST target index, like the dense scan's index-ordered first-tie rule
+    t = rng.rand(1, 64, 3).astype(np.float32)
+    t_dup = np.concatenate([t, t[:, ::-1], t], axis=1)  # each point 3 times
+    cases.append((rng.rand(1, 40, 3).astype(np.float32), t_dup))
+    # all-z-equal worst case: zero pruning possible, must still be exact
+    qf = rng.rand(1, 100, 3).astype(np.float32)
+    tf = rng.rand(1, 130, 3).astype(np.float32)
+    qf[..., 2] = 0.5
+    tf[..., 2] = 0.5
+    cases.append((qf, tf))
+
+    for q, t in cases:
+        with pltpu.force_tpu_interpret_mode():
+            d, i = nearest_neighbor_dyn(jnp.asarray(q), jnp.asarray(t))
+        bd = np.sum((q[:, :, None] - t[:, None]) ** 2, -1)
+        # |t|²−2·q·t expansion noise, same tolerance class as the dense kernel
+        np.testing.assert_allclose(np.asarray(d), bd.min(-1), rtol=1e-3, atol=1e-5)
+        picked = np.take_along_axis(bd, np.asarray(i)[..., None], 2)[..., 0]
+        np.testing.assert_allclose(picked, bd.min(-1), rtol=1e-3, atol=1e-5)
+
+
+def test_dyn_tie_resolution_lowest_index(rng):
+    """With exactly duplicated target points, idx must equal the brute-force
+    argmin (numpy argmin returns the first == lowest index)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rfnet_tpu.ops.pallas.chamfer_dyn import nn_dyn_pallas
+
+    t_base = rng.rand(1, 80, 3).astype(np.float32)
+    t = np.concatenate([t_base, t_base], axis=1)  # duplicate block
+    q = rng.rand(1, 50, 3).astype(np.float32)
+    # the kernel contract takes z-SORTED inputs; sort here, compare in sorted space
+    qs = np.take_along_axis(q, np.argsort(q[..., 2], 1)[..., None], 1)
+    ts = np.take_along_axis(t, np.argsort(t[..., 2], 1)[..., None], 1)
+    with pltpu.force_tpu_interpret_mode():
+        d, i = nn_dyn_pallas(jnp.asarray(qs), jnp.asarray(ts))
+    bd = np.sum((qs[:, :, None] - ts[:, None]) ** 2, -1)
+    np.testing.assert_array_equal(np.asarray(i), bd.argmin(-1).astype(np.int32))
+
+
+def test_chamfer_means_dyn_value_and_grad(rng):
+    """Sorted-space chamfer (the train loss fast path) must match the dense
+    nn_distance-based value AND gradient (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rfnet_tpu.losses import _safe_sqrt
+    from rfnet_tpu.ops.chamfer import _chamfer_means_dyn
+
+    a = jnp.asarray(rng.rand(2, 96, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, 130, 3).astype(np.float32))
+
+    def dense_loss(a, b):
+        d1, _, d2, _ = nn_distance(a, b)
+        return 1.3 * jnp.mean(_safe_sqrt(d1)) + 0.7 * jnp.mean(_safe_sqrt(d2))
+
+    def dyn_loss(a, b):
+        m1, m2 = _chamfer_means_dyn(a, b)
+        return 1.3 * m1 + 0.7 * m2
+
+    with pltpu.force_tpu_interpret_mode():
+        v_dyn, (ga_dyn, gb_dyn) = jax.value_and_grad(dyn_loss, argnums=(0, 1))(a, b)
+    v_ref, (ga_ref, gb_ref) = jax.value_and_grad(dense_loss, argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(float(v_dyn), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga_dyn), np.asarray(ga_ref), rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb_dyn), np.asarray(gb_ref), rtol=1e-3, atol=1e-6)
+
+
+def test_chamfer_means_matches_chamfer_big(rng):
+    """Dispatch fallback (CPU): chamfer_means halves average to chamfer_big."""
+    from rfnet_tpu.losses import chamfer_big
+    from rfnet_tpu.ops.chamfer import chamfer_means
+
+    a = jnp.asarray(rng.rand(2, 50, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, 70, 3).astype(np.float32))
+    m1, m2 = chamfer_means(a, b)
+    cd, _ = chamfer_big(a, b)
+    np.testing.assert_allclose(float((m1 + m2) / 2.0), float(cd), rtol=1e-6)
+
+
 def test_pruned_kernel_interpret_matches_bruteforce(rng):
     """Tile-pruned sorted NN scan must be exact (interpret mode on CPU)."""
     from jax.experimental.pallas import tpu as pltpu
