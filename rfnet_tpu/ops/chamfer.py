@@ -111,13 +111,23 @@ def _fwd(xyz1, xyz2):
 
 
 def _scatter_add_points(target_shape, idx, updates):
-    """Batched scatter-add of (b, k, 3) updates into a (b, n, 3) zero array."""
-    zeros = jnp.zeros(target_shape, updates.dtype)
+    """Batched scatter-add of (b, k, 3) updates into a (b, n, 3) zero array.
 
-    def one(z, i, u):
-        return z.at[i].add(u)
+    Decomposed into three per-coordinate scalar scatters: XLA's TPU scatter
+    of 3-float rows measures 24 ms at (32,16384,3) while three (b,n) scalar
+    scatters measure 13.5 ms total (tools bench, v5e-1)."""
+    b, n = target_shape[0], target_shape[1]
 
-    return jax.vmap(one)(zeros, idx, updates)
+    def one_coord(i, u):
+        def one(ii, uu):
+            return jnp.zeros((n,), updates.dtype).at[ii].add(
+                uu, mode="promise_in_bounds"
+            )
+
+        return jax.vmap(one)(i, u)
+
+    cols = [one_coord(idx, updates[..., c]) for c in range(target_shape[2])]
+    return jnp.stack(cols, axis=-1)
 
 
 def _bwd(res, grads):
@@ -193,14 +203,16 @@ def sort_by_z_with_order(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return jnp.stack([x0, x1, zs], axis=-1), order
 
 
-def _scatter_rows(target_shape, order, rows):
-    """Unsort: out[order[k]] = rows[k] (one scatter, no inverse permutation)."""
-    zeros = jnp.zeros(target_shape, rows.dtype)
+def _unsort_rows(order, rows):
+    """Undo a row permutation: out[order[k]] = rows[k].
 
-    def one(z, o, r):
-        return z.at[o].set(r)
-
-    return jax.vmap(one)(zeros, order, rows)
+    Implemented as a second variadic sort (recovers the inverse permutation)
+    plus a gather — 6.8 ms at (32,16384,3) vs 24 ms for the equivalent
+    scatter-set on v5e (XLA TPU scatters are row-serialized)."""
+    b, n = order.shape
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    _, inv = lax.sort((order, iota), dimension=1, num_keys=1)
+    return jnp.take_along_axis(rows, inv[..., None], axis=1, mode="promise_in_bounds")
 
 
 def _chamfer_means_fwd_impl(pcd1, pcd2):
@@ -256,7 +268,7 @@ def _chamfer_means_bwd(res, gs):
     gb_s = 2.0 * gd2[..., None] * diff2 + _scatter_add_points(
         x2s.shape, i1, -2.0 * gd1[..., None] * diff1
     )
-    return _scatter_rows(ga_s.shape, o1, ga_s), _scatter_rows(gb_s.shape, o2, gb_s)
+    return _unsort_rows(o1, ga_s), _unsort_rows(o2, gb_s)
 
 
 _chamfer_means_dyn.defvjp(_chamfer_means_fwd, _chamfer_means_bwd)

@@ -32,13 +32,14 @@ Reference: forward of ``NmDistanceKernel`` (`pc_distance/tf_nndistance.cu:
 early exit is new capability, enabled by the z-sort the wrapper applies
 (ops/chamfer.py).
 
-MEASURED (v5e-1, b32, fp32, uniform clouds, incl. sort/unsort/remap done
-batched in the caller): 16384² one-sided 12.2 ms vs 52 ms dense (4.3×);
-16384→3000 4.4 ms vs 9.8 ms; bidirectional 16384² pair 23 ms vs 104 ms.
-Shell/trained-geometry clouds prune slightly better (11.9 ms). Worst case
-(all z equal, zero pruning) ~69 ms = dense + 33% — the dispatch in
-ops/chamfer.py therefore uses this kernel only for m ≥ 2048 where the
-expected win is large.
+MEASURED (v5e-1, b32, fp32, kernel on pre-sorted 16384² clouds; sweep in
+tools/bench_chamfer_dyn2.py): 12.3 ms vs 49.7 ms dense (4.0×) at the chosen
+tile_n=256/tile_m=512/rounds=2; all-z-equal worst case (zero pruning
+possible) 58.5 ms = dense + 18%. Wrapper overhead measured separately:
+one variadic z-sort 7 ms, naive unsort/remap gathers ~18 ms — which is why
+the LOSS path (ops/chamfer.chamfer_means) stays entirely in sorted space
+and never unsorts in the forward. The train-loss dispatch uses this kernel
+for pair counts ≥ 2²⁵; the dense kernel keeps smaller scans.
 """
 
 from __future__ import annotations

@@ -1,0 +1,394 @@
+"""Pallas TPU kernels: plan-free approx-EMD cost, VMEM-resident + underflow-pruned.
+
+The XLA chunked recurrence (ops/emd.approx_match_cost) materialises the
+(b, chunk, m) weight tile ``w = exp(level·d²)`` and the d² tile in HBM on
+every pass of every level. These kernels recompute d² and w on the fly inside
+VMEM (the TPU analogue of the CUDA kernel's shared-memory tiling,
+`pc_distance/tf_approxmatch.cu:11,35`) and only ever write the O(n)+O(m)
+level state:
+
+  K1 ratio_l sweep: suml_k = Σ_l w_kl·remainR_l; ratio_l = remainL/(1e-9+suml)
+  K2 sumr sweep:    sumr_l = Σ_k w_kl·ratio_l_k
+  K3 cost sweep:    δ = w·ratio_l·ratio_r; rowcost_k = Σ_l δ·√d², rowdelta_k = Σ_l δ
+
+K3 of level j−1 and K1 of level j fuse into one sweep (K31) sharing the d²
+tile, so each level pays 2 sweeps instead of 3 (plus one final K3).
+
+Pruning (the big win — this op is exp-bound, not bandwidth-bound): both
+clouds are z-SORTED by the wrapper, every per-point level state lives in
+sorted space (the final cost is a scalar, so nothing is ever unsorted), and
+each sweep visits only the contiguous band of target slabs whose z-gap can
+possibly matter. fp32 ``exp(x)`` is EXACTLY 0.0 for x < −104 (below the
+smallest denormal), so a slab whose z-gap² exceeds 104/|λ| contributes
+bit-exact nothing to any sum — skipping it is not an approximation. At the
+strongest level (λ = −4⁷) the band is ±√(104/16384) ≈ ±0.08 of the z range;
+at λ = 0 the band is everything (w ≡ 1, nothing prunable). Per-level bands
+are precomputed in XLA and enter via scalar prefetch.
+
+The level loop and the tiny (b,n)/(b,m) capacity updates stay in XLA
+(`lax.scan`), matching ops/emd._levels exactly (GPU schedule 7…−2,
+`tf_approxmatch.cu:21-130`, incl. the 1e-9 guards and min(·,1) clamp).
+Arithmetic equals the XLA path up to fp summation order.
+
+MEASURED (v5e-1, fp32, 16384² b4 eval shape): 132 ms vs 322 ms for the XLA
+chunked recurrence and 558 ms for the round-1 plan-materialising pair
+(2.4× / 4.2×); relerr ≤ 1e-4 vs the XLA path (fp summation order only).
+Step history: unfused unbanded grid kernels 248 ms → +band pruning 196 ms →
++K31 fusion 162 ms → +512-lane tiles 132 ms. The sweeps are bound by the
+elementwise d² broadcast chain, NOT by exp (measured <6% of a sweep) and
+not by HBM (everything is VMEM-resident).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE_N = 512  # lanes: the axis a sweep writes (queries for K1/K3, targets for K2)
+_SLAB = 1024  # sublanes: reduction slab (large to amortise the fori overhead)
+_PAD_COORD = 1.0e6  # same magnitude the XLA path uses for padded rows
+# fp32 exp(x) == 0.0 exactly for x < -104 (smallest denormal 1.4e-45,
+# ln(1.4e-45) ≈ -103.28); skipping such pairs is bit-exact on every platform
+_EXP_ZERO = 104.0
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def _d2_rowmajor(x1, x2):
+    """d² as a (TILE_M sublane, TILE_N lane) tile from coordinate-major lane
+    points x1 (3, tn) and point-major sublane points x2 (tm, 3)."""
+    s1 = jnp.sum(x1 * x1, axis=0, keepdims=True)  # (1, tn)
+    s2 = jnp.sum(x2 * x2, axis=1, keepdims=True)  # (tm, 1)
+    cross = (
+        x2[:, 0:1] * x1[0:1, :]
+        + x2[:, 1:2] * x1[1:2, :]
+        + x2[:, 2:3] * x1[2:3, :]
+    )
+    return jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
+
+
+def _make_k1(tile_m: int):
+    def k1(band_ref, lvl_ref, x1t_ref, x2_ref, rr_ref, rl_ref, out_ref, acc):
+        bi = pl.program_id(0)
+        ni = pl.program_id(1)
+        acc[...] = jnp.zeros(acc.shape, jnp.float32)
+        x1 = x1t_ref[0]
+        lvl = lvl_ref[0, 0]
+
+        def body(i, _):
+            x2 = x2_ref[0, pl.ds(i * tile_m, tile_m), :]
+            rr = rr_ref[0, pl.ds(i * tile_m, tile_m), :]
+            w = jnp.exp(lvl * _d2_rowmajor(x1, x2))
+            acc[...] += jnp.sum(w * rr, axis=0, keepdims=True)
+            return 0
+
+        lax.fori_loop(band_ref[bi, ni, 0], band_ref[bi, ni, 1], body, 0)
+        out_ref[0] = jnp.broadcast_to(
+            rl_ref[0] / (1e-9 + acc[...]), out_ref.shape[1:]
+        )
+
+    return k1
+
+
+def _make_k2(tile_m: int):
+    # identical structure to K1 with the clouds' roles swapped: targets ride
+    # the lanes, queries are the reduced sublane axis
+    def k2(band_ref, lvl_ref, x2t_ref, x1_ref, ratio_ref, out_ref, acc):
+        bi = pl.program_id(0)
+        mi = pl.program_id(1)
+        acc[...] = jnp.zeros(acc.shape, jnp.float32)
+        x2 = x2t_ref[0]
+        lvl = lvl_ref[0, 0]
+
+        def body(i, _):
+            x1 = x1_ref[0, pl.ds(i * tile_m, tile_m), :]
+            rl = ratio_ref[0, pl.ds(i * tile_m, tile_m), :]
+            w = jnp.exp(lvl * _d2_rowmajor(x2, x1))
+            acc[...] += jnp.sum(w * rl, axis=0, keepdims=True)
+            return 0
+
+        lax.fori_loop(band_ref[bi, mi, 0], band_ref[bi, mi, 1], body, 0)
+        out_ref[0] = jnp.broadcast_to(acc[...], out_ref.shape[1:])
+
+    return k2
+
+
+def _make_k3(tile_m: int):
+    def k3(band_ref, lvl_ref, x1t_ref, x2_ref, rl_ref, rr_ref,
+           cost_ref, rowd_ref, acc_c, acc_d):
+        bi = pl.program_id(0)
+        ni = pl.program_id(1)
+        acc_c[...] = jnp.zeros(acc_c.shape, jnp.float32)
+        acc_d[...] = jnp.zeros(acc_d.shape, jnp.float32)
+        x1 = x1t_ref[0]
+        lvl = lvl_ref[0, 0]
+        ratio_l = rl_ref[0]  # (1, tn)
+
+        def body(i, _):
+            x2 = x2_ref[0, pl.ds(i * tile_m, tile_m), :]
+            rr = rr_ref[0, pl.ds(i * tile_m, tile_m), :]
+            d2 = _d2_rowmajor(x1, x2)
+            delta = jnp.exp(lvl * d2) * ratio_l * rr
+            acc_c[...] += jnp.sum(delta * jnp.sqrt(d2), axis=0, keepdims=True)
+            acc_d[...] += jnp.sum(delta, axis=0, keepdims=True)
+            return 0
+
+        lax.fori_loop(band_ref[bi, ni, 0], band_ref[bi, ni, 1], body, 0)
+        cost_ref[0] = jnp.broadcast_to(acc_c[...], cost_ref.shape[1:])
+        rowd_ref[0] = jnp.broadcast_to(acc_d[...], rowd_ref.shape[1:])
+
+    return k3
+
+
+def _make_k31(tile_m: int):
+    """Fused sweep: K3 at the PREVIOUS level + K1 at the CURRENT level.
+
+    Both parts share one d² tile per slab (the dominant cost — exp itself
+    measures <6% of a sweep). The K3 part runs dead on the first scan
+    iteration (its ratio inputs start at zero ⇒ contributes exactly 0), and
+    its slabs outside its own narrower band have w_prev exactly 0 by
+    underflow, so widening to the current level's band stays bit-exact.
+    Emits rowcost (prev level), the updated remain_l, and ratio_l (current
+    level, using the updated remain_l — the reference ordering)."""
+
+    def k31(band_ref, lvls_ref, x1t_ref, x2_ref, rl_prev_ref, rml_ref,
+            rr_prev_ref, rr_ref, cost_ref, rml_out_ref, ratio_out_ref,
+            acc_c, acc_d, acc_s):
+        bi = pl.program_id(0)
+        ni = pl.program_id(1)
+        acc_c[...] = jnp.zeros(acc_c.shape, jnp.float32)
+        acc_d[...] = jnp.zeros(acc_d.shape, jnp.float32)
+        acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+        x1 = x1t_ref[0]
+        lvl_prev = lvls_ref[0, 0]
+        lvl = lvls_ref[0, 1]
+        ratio_l_prev = rl_prev_ref[0]  # (1, tn)
+
+        def body(i, _):
+            x2 = x2_ref[0, pl.ds(i * tile_m, tile_m), :]
+            rr_prev = rr_prev_ref[0, pl.ds(i * tile_m, tile_m), :]
+            rr = rr_ref[0, pl.ds(i * tile_m, tile_m), :]
+            d2 = _d2_rowmajor(x1, x2)
+            delta = jnp.exp(lvl_prev * d2) * ratio_l_prev * rr_prev
+            acc_c[...] += jnp.sum(delta * jnp.sqrt(d2), axis=0, keepdims=True)
+            acc_d[...] += jnp.sum(delta, axis=0, keepdims=True)
+            acc_s[...] += jnp.sum(jnp.exp(lvl * d2) * rr, axis=0, keepdims=True)
+            return 0
+
+        lax.fori_loop(band_ref[bi, ni, 0], band_ref[bi, ni, 1], body, 0)
+        remain_l = jnp.maximum(0.0, rml_ref[0] - acc_d[...])
+        cost_ref[0] = jnp.broadcast_to(acc_c[...], cost_ref.shape[1:])
+        rml_out_ref[0] = jnp.broadcast_to(remain_l, rml_out_ref.shape[1:])
+        ratio_out_ref[0] = jnp.broadcast_to(
+            remain_l / (1e-9 + acc_s[...]), ratio_out_ref.shape[1:]
+        )
+
+    return k31
+
+
+def _bands(levels, lane_z, lane_n_real, slab_zlo, slab_zhi, tile_lane):
+    """Per-level contiguous slab band [lo, hi) for every lane tile.
+
+    lane_z: (b, n_pad) sorted z of the lane cloud; slab_zlo/zhi: (b, mt) z
+    ranges of the reduced cloud's slabs. A slab is needed iff its z range is
+    within r = √(104/|λ|) of the lane tile's z range — everything farther has
+    λ·d² < −104 and w exactly 0. Returns int32 (L, b, nt, 2)."""
+    b, n_pad = lane_z.shape
+    nt = n_pad // tile_lane
+    tz = lane_z.reshape(b, nt, tile_lane)
+    valid = (
+        jnp.arange(n_pad).reshape(1, nt, tile_lane) < lane_n_real
+    )
+    q_lo = jnp.min(jnp.where(valid, tz, jnp.inf), axis=2)  # (b, nt)
+    q_hi = jnp.max(jnp.where(valid, tz, -jnp.inf), axis=2)
+    absl = jnp.abs(levels)  # (L,)
+    r = jnp.where(absl > 0, jnp.sqrt(_EXP_ZERO / jnp.maximum(absl, 1e-30)), jnp.inf)
+    # include slab j iff slab_zlo ≤ q_hi + r AND slab_zhi ≥ q_lo − r
+    inc = (
+        (slab_zlo[None, :, None, :] <= (q_hi[None, :, :, None] + r[:, None, None, None]))
+        & (slab_zhi[None, :, None, :] >= (q_lo[None, :, :, None] - r[:, None, None, None]))
+    )  # (L, b, nt, mt)
+    mt = slab_zlo.shape[1]
+    idx = jnp.arange(mt)
+    lo = jnp.min(jnp.where(inc, idx, mt), axis=3)
+    hi = jnp.max(jnp.where(inc, idx + 1, 0), axis=3)
+    hi = jnp.maximum(hi, lo)  # empty band → lo == hi
+    return jnp.stack([lo, hi], axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_real", "m_real"))
+def _approx_cost_pallas(x1s, x2s, multi_l, multi_r, n_real, m_real):
+    """Level recurrence over z-SORTED padded clouds; returns (b,) costs."""
+    b, n_pad, _ = x1s.shape
+    m_pad = x2s.shape[1]
+    # lane tiles (128-aligned) and reduction-slab tiles (prefer _SLAB) chosen
+    # to divide the padded sizes exactly
+    tile_n = _TILE_N if n_pad % _TILE_N == 0 else 128
+    tile_mn = _TILE_N if m_pad % _TILE_N == 0 else 128
+    tile_m = _SLAB if m_pad % _SLAB == 0 else tile_mn  # slabs over x2
+    tile_k = _SLAB if n_pad % _SLAB == 0 else tile_n  # slabs over x1
+    mt_n = m_pad // tile_m
+    kt = n_pad // tile_k
+
+    x1t = x1s.transpose(0, 2, 1)  # (b, 3, n_pad)
+    x2t = x2s.transpose(0, 2, 1)  # (b, 3, m_pad)
+
+    n_iota = jnp.arange(n_pad)[None, :]
+    m_iota = jnp.arange(m_pad)[None, :]
+    remain_l0 = jnp.broadcast_to(
+        jnp.where(n_iota < n_real, jnp.float32(multi_l), 0.0), (b, n_pad)
+    )
+    remain_r0 = jnp.broadcast_to(
+        jnp.where(m_iota < m_real, jnp.float32(multi_r), 0.0), (b, m_pad)
+    )
+
+    from rfnet_tpu.ops.emd import _levels
+
+    levels = _levels()
+    # slab z ranges of each cloud (sorted ⇒ first/last element of the slab),
+    # masked so pad-only slabs exclude themselves via ±inf
+    z1 = x1s[..., 2]
+    z2 = x2s[..., 2]
+    s2lo = jnp.min(
+        jnp.where(m_iota.reshape(1, mt_n, tile_m) < m_real,
+                  z2.reshape(b, mt_n, tile_m), jnp.inf), axis=2)
+    s2hi = jnp.max(
+        jnp.where(m_iota.reshape(1, mt_n, tile_m) < m_real,
+                  z2.reshape(b, mt_n, tile_m), -jnp.inf), axis=2)
+    s1lo = jnp.min(
+        jnp.where(n_iota.reshape(1, kt, tile_k) < n_real,
+                  z1.reshape(b, kt, tile_k), jnp.inf), axis=2)
+    s1hi = jnp.max(
+        jnp.where(n_iota.reshape(1, kt, tile_k) < n_real,
+                  z1.reshape(b, kt, tile_k), -jnp.inf), axis=2)
+    bands_q = _bands(levels, z1, n_real, s2lo, s2hi, tile_n)  # (L,b,nt,2)
+    bands_t = _bands(levels, z2, m_real, s1lo, s1hi, tile_mn)  # (L,b,mt_lane,2)
+
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    k2 = _make_k2(tile_k)
+    k3 = _make_k3(tile_m)
+    k31 = _make_k31(tile_m)
+
+    def row_sweep(kernel, n_out, band, lvl, lane_t, red_pts, tl, *vecs):
+        """Run a lane-tile sweep kernel: grid (b, lanes/tl). Index maps take
+        *_ because PrefetchScalarGridSpec appends the scalar refs."""
+        lanes = lane_t.shape[2]
+        lt = lanes // tl
+        in_specs = [
+            pl.BlockSpec(lvl.shape, lambda bi, ni, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, tl), lambda bi, ni, *_: (bi, 0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, red_pts.shape[1], 3), lambda bi, ni, *_: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [lvl, lane_t, red_pts]
+        for v in vecs:
+            if v.shape[2] == 1:  # (b, red, 1) sublane-major reduced vector
+                in_specs.append(
+                    pl.BlockSpec((1, v.shape[1], 1), lambda bi, ni, *_: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM)
+                )
+            else:  # (b, 1, lanes) lane vector
+                in_specs.append(
+                    pl.BlockSpec((1, 1, tl), lambda bi, ni, *_: (bi, 0, ni),
+                                 memory_space=pltpu.VMEM)
+                )
+            args.append(v)
+        out_spec = pl.BlockSpec((1, 8, tl), lambda bi, ni, *_: (bi, 0, ni),
+                                memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, lt),
+                in_specs=in_specs,
+                out_specs=[out_spec] * n_out,
+                scratch_shapes=[pltpu.VMEM((1, tl), jnp.float32)] * n_out,
+            ),
+            out_shape=[jax.ShapeDtypeStruct((b, 8, lanes), jnp.float32)] * n_out,
+            compiler_params=vmem,
+        )(band, *args)
+        outs = outs if isinstance(outs, (list, tuple)) else [outs]
+        return [o[:, 0] for o in outs]
+
+    def level_step(carry, inputs):
+        """One scan iteration = [K3 of the PREVIOUS level fused with K1 of
+        the current one] + [K2 of the current level]. The previous level's
+        K3 inputs start at zero on iteration 0 (contributes exactly 0); the
+        last level's K3 runs standalone after the scan."""
+        cost, remain_l, remain_r, ratio_l, ratio_r = carry
+        lvls, band_q, band_t = inputs  # lvls = [λ_prev, λ]
+
+        rowcost, remain_l, ratio_l = row_sweep(
+            k31, 3, band_q, lvls.reshape(1, 2), x1t, x2s, tile_n,
+            ratio_l[:, None, :], remain_l[:, None, :],
+            ratio_r[:, :, None], remain_r[:, :, None],
+        )
+        cost = cost + jnp.sum(rowcost, axis=1)
+
+        lvl = lvls[1].reshape(1, 1)
+        (sumr,) = row_sweep(
+            k2, 1, band_t, lvl, x2t, x1s, tile_mn, ratio_l[:, :, None],
+        )
+        sumr = sumr * remain_r
+        ratio_r = jnp.minimum(remain_r / (sumr + 1e-9), 1.0) * remain_r
+        remain_r = jnp.maximum(0.0, remain_r - sumr)
+        return (cost, remain_l, remain_r, ratio_l, ratio_r), None
+
+    levels_pair = jnp.stack(
+        [jnp.concatenate([levels[:1], levels[:-1]]), levels], axis=1
+    )  # (L, 2); iteration 0's 'previous' level is dead (zero ratios)
+    init = (
+        jnp.zeros((b,), jnp.float32),
+        remain_l0,
+        remain_r0,
+        jnp.zeros((b, n_pad), jnp.float32),
+        jnp.zeros((b, m_pad), jnp.float32),
+    )
+    (cost, remain_l, _, ratio_l, ratio_r), _ = lax.scan(
+        level_step, init, (levels_pair, bands_q, bands_t)
+    )
+    # the LAST level's K3 (λ = 0 ⇒ its band is the full slab range)
+    rowcost, _ = row_sweep(
+        k3, 2, bands_q[-1], levels[-1].reshape(1, 1), x1t, x2s, tile_n,
+        ratio_l[:, None, :], ratio_r[:, :, None],
+    )
+    return cost + jnp.sum(rowcost, axis=1)
+
+
+def approx_match_cost_pallas(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    """Fused plan-free ``match_cost(approx_match(...))`` — (b,) costs.
+
+    Same recurrence/constants as ops/emd.approx_match_cost; all n×m tiles
+    (d², w, δ) live only in VMEM and underflow-dead slabs are skipped
+    bit-exactly. Non-differentiable (eval use)."""
+    xyz1 = lax.stop_gradient(xyz1.astype(jnp.float32))
+    xyz2 = lax.stop_gradient(xyz2.astype(jnp.float32))
+    from rfnet_tpu.ops.emd import _capacities
+
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    multi_l, multi_r = _capacities(n, m)
+    # each cloud rides lanes in one sweep and is the reduction slab axis in
+    # the other; pad so both tile choices divide exactly (≥512 → 512-mult,
+    # else 128-mult with the lane tile downgrading to 128 when needed)
+    n_pad = _round_up(n, _SLAB) if n >= _SLAB else _round_up(n, 128)
+    m_pad = _round_up(m, _SLAB) if m >= _SLAB else _round_up(m, 128)
+    x1p = jnp.pad(xyz1, ((0, 0), (0, n_pad - n), (0, 0)), constant_values=_PAD_COORD)
+    x2p = jnp.pad(xyz2, ((0, 0), (0, m_pad - m), (0, 0)), constant_values=_PAD_COORD)
+    # z-sort both clouds; every per-point quantity stays in sorted space and
+    # the output is a scalar, so nothing is ever unsorted. Pads (z = 1e6)
+    # sort to the end, preserving the "first n_real rows are real" contract.
+    from rfnet_tpu.ops.chamfer import sort_by_z_with_order
+
+    x1sorted, _ = sort_by_z_with_order(x1p)
+    x2sorted, _ = sort_by_z_with_order(x2p)
+    return _approx_cost_pallas(x1sorted, x2sorted, multi_l, multi_r, n, m)

@@ -192,6 +192,29 @@ def test_chunked_padding_mass_conservation(rng):
     """Regression: padded query rows must carry zero mass — capacities come
     from the REAL query count, and the λ=0 final level must not let padding
     absorb transport."""
+    _padding_body(rng)
+
+
+def test_pallas_banded_cost_matches_xla(rng):
+    """The VMEM-resident banded-sweep kernels (ops/pallas/emd.py — the TPU
+    eval dispatch) must reproduce the XLA recurrence: same level schedule,
+    same guards; the underflow band skip is bit-exact by construction
+    (exp(x) == 0 for x < −104)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rfnet_tpu.ops.emd import approx_match_cost
+    from rfnet_tpu.ops.pallas.emd import approx_match_cost_pallas
+
+    for (b, n, m) in [(2, 256, 256), (1, 300, 130), (2, 96, 520)]:
+        x1 = jnp.asarray(rng.rand(b, n, 3).astype(np.float32))
+        x2 = jnp.asarray(rng.rand(b, m, 3).astype(np.float32))
+        ref = np.asarray(approx_match_cost(x1, x2))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(approx_match_cost_pallas(x1, x2))
+        np.testing.assert_allclose(got, ref, rtol=2e-4)
+
+
+def _padding_body(rng):
     n, m = 100, 32  # n % chunk != 0 when chunked with chunk=32
     x1 = rng.rand(1, n, 3).astype(np.float32)
     x2 = rng.rand(1, m, 3).astype(np.float32)
