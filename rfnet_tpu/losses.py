@@ -109,7 +109,11 @@ def re_chamfer(gt: jax.Array, pred: jax.Array, part: int = 8) -> jax.Array:
     used = part * interval
     gs = gt[:, :used].reshape(b * part, interval, 3)
     ps = pred[:, :used].reshape(b * part, interval, 3)
-    return chamfer_big(ps, gs)[0]
+    # sorted-space path even below the pair-count threshold: the folded
+    # slices' backward then uses the banded contraction instead of the XLA
+    # scatter (~15 ms at this shape — tools/bench_bwd_pieces.py)
+    m1, m2 = chamfer_means(ps, gs, force_dyn=True)
+    return (m1 + m2) / 2.0
 
 
 def groupin_near(ptmat: jax.Array) -> jax.Array:

@@ -262,25 +262,34 @@ def _chamfer_means_bwd(res, gs):
     nn2 = jnp.take_along_axis(x1s, i2[..., None], axis=1)
     diff1 = x1s - nn1
     diff2 = x2s - nn2
-    ga_s = 2.0 * gd1[..., None] * diff1 + _scatter_add_points(
-        x1s.shape, i2, -2.0 * gd2[..., None] * diff2
-    )
-    gb_s = 2.0 * gd2[..., None] * diff2 + _scatter_add_points(
-        x2s.shape, i1, -2.0 * gd1[..., None] * diff1
-    )
+    # The reference scatter-add (`tf_nndistance.cu:169-194`) of the reverse-
+    # routed term becomes a banded one-hot MXU contraction in sorted space:
+    # d_x2[j] += Σ_{i: i1[i]=j} −2·gd1[i]·(x1s[i] − x2s[j])
+    #         = −2·S_p[j] + 2·x2s[j]·S_w[j]   (ops/pallas/nn_grad.py; the
+    # XLA scatter this replaces measures ~15 ms at (32,16384,3), the kernel
+    # low single-digit ms — tools/bench_bwd_pieces.py). The unused direction
+    # (cotangent of a constant cloud, e.g. gt) is dead code XLA eliminates.
+    from rfnet_tpu.ops.pallas.nn_grad import nn_grad_scatter
+
+    sp2, sw2 = nn_grad_scatter(x2s, gd2, i2, x1s.shape[1])
+    sp1, sw1 = nn_grad_scatter(x1s, gd1, i1, x2s.shape[1])
+    ga_s = 2.0 * gd1[..., None] * diff1 - 2.0 * sp2 + 2.0 * x1s * sw2[..., None]
+    gb_s = 2.0 * gd2[..., None] * diff2 - 2.0 * sp1 + 2.0 * x2s * sw1[..., None]
     return _unsort_rows(o1, ga_s), _unsort_rows(o2, gb_s)
 
 
 _chamfer_means_dyn.defvjp(_chamfer_means_fwd, _chamfer_means_bwd)
 
 
-def chamfer_means(pcd1: jax.Array, pcd2: jax.Array):
+def chamfer_means(pcd1: jax.Array, pcd2: jax.Array, force_dyn: bool = False):
     """(mean √NN-dist both directions) — the chamfer_big reduction without
     indices. Dispatches the large-shape TPU case to the sorted-space
     early-exit path; identical semantics (incl. the safe-sqrt gradient
-    guard) on the dense fallback."""
+    guard) on the dense fallback. ``force_dyn`` routes below-threshold
+    shapes to the sorted path too (re_chamfer's folded slices: the dyn
+    backward's banded contraction beats the dense VJP's XLA scatters)."""
     n, m = pcd1.shape[1], pcd2.shape[1]
-    if jax.default_backend() == "tpu" and _use_dyn(n, m):
+    if jax.default_backend() == "tpu" and (force_dyn or _use_dyn(n, m)):
         return _chamfer_means_dyn(pcd1, pcd2)
     from rfnet_tpu import losses as _losses
 

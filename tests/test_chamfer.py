@@ -205,3 +205,43 @@ def test_pruned_kernel_interpret_matches_bruteforce(rng):
         np.testing.assert_allclose(np.asarray(d), bd.min(-1), rtol=1e-3, atol=1e-5)
         picked = np.take_along_axis(bd, np.asarray(i)[..., None], 2)[..., 0]
         np.testing.assert_allclose(picked, bd.min(-1), rtol=1e-3, atol=1e-5)
+
+
+def test_nn_grad_scatter_matches_dense_scatter(rng):
+    """Banded one-hot contraction == scatter-add oracle, including
+    pathological index distributions (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rfnet_tpu.ops.pallas.nn_grad import nn_grad_scatter
+
+    def oracle(x1, g, idx, m):
+        b, n, _ = x1.shape
+        sp = np.zeros((b, m, 3), np.float32)
+        sw = np.zeros((b, m), np.float32)
+        for bi in range(b):
+            for i in range(n):
+                sp[bi, idx[bi, i]] += g[bi, i] * x1[bi, i]
+                sw[bi, idx[bi, i]] += g[bi, i]
+        return sp, sw
+
+    b, n, m = 2, 100, 140
+    x1 = rng.rand(b, n, 3).astype(np.float32)
+    g = rng.randn(b, n).astype(np.float32)
+    cases = [
+        # banded (what sorted argmins look like)
+        np.clip(
+            (np.arange(n) * m // n)[None, :] + rng.randint(-9, 9, (b, n)), 0, m - 1
+        ).astype(np.int32),
+        # adversarial: everything on one target
+        np.full((b, n), m - 1, np.int32),
+        # adversarial: uniformly random (band interval covers everything)
+        rng.randint(0, m, (b, n)).astype(np.int32),
+    ]
+    for idx in cases:
+        with pltpu.force_tpu_interpret_mode():
+            sp, sw = nn_grad_scatter(
+                jnp.asarray(x1), jnp.asarray(g), jnp.asarray(idx), m
+            )
+        osp, osw = oracle(x1, g, idx, m)
+        np.testing.assert_allclose(np.asarray(sp), osp, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sw), osw, rtol=1e-5, atol=1e-5)

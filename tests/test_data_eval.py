@@ -261,3 +261,48 @@ def test_eval_cli_batched_matches_single(tmp_path, rng):
             np.testing.assert_allclose(float(emd1), float(emd2), rtol=1e-4)
     finally:
         eval_mod.TrainConfig = orig
+
+
+def test_eval_cli_pipelined_matches_sync(tmp_path, rng):
+    """--pipeline overlaps load/dispatch/readback but must produce the exact
+    same per-model metrics and CSV ordering as the synchronous path."""
+    from rfnet_tpu import eval as eval_mod
+    from rfnet_tpu.train import TrainConfig
+
+    ids = ["0001/a", "0001/b", "0002/c", "0002/d", "0001/e"]
+    for mid in ids:
+        for kind, n in [("partial", 40), ("complete", 128)]:
+            p = os.path.join(tmp_path, "data", kind, mid + ".pcd")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            save_pcd(p, rng.rand(n, 3).astype(np.float32))
+    list_path = os.path.join(tmp_path, "test.list")
+    with open(list_path, "w") as f:
+        f.write("\n".join(ids))
+
+    orig = eval_mod.TrainConfig
+    try:
+        eval_mod.TrainConfig = lambda **kw: TrainConfig(n_seed=4, up_ratio=4, **kw)
+        rows = {}
+        for tag, extra in [("sync", []), ("pipe", ["--pipeline"])]:
+            rdir = os.path.join(tmp_path, "results_" + tag)
+            np.random.seed(0)  # resample padding draws from global np.random
+            eval_mod.main([
+                "--list_path", list_path,
+                "--data_dir", os.path.join(tmp_path, "data"),
+                "--checkpoint", os.path.join(tmp_path, "nockpt"),
+                "--results_dir", rdir,
+                "--num_gt_points", "128",
+                "--plot_freq", "1000",
+                "--batch_size", "2",
+                *extra,
+            ])
+            rows[tag] = open(os.path.join(rdir, "results.csv")).read().splitlines()
+        assert len(rows["sync"]) == len(rows["pipe"]) == 6
+        for r1, r2 in zip(rows["sync"][1:], rows["pipe"][1:]):
+            id1, cd1, emd1 = r1.split(",")
+            id2, cd2, emd2 = r2.split(",")
+            assert id1 == id2
+            np.testing.assert_allclose(float(cd1), float(cd2), rtol=1e-5)
+            np.testing.assert_allclose(float(emd1), float(emd2), rtol=1e-5)
+    finally:
+        eval_mod.TrainConfig = orig

@@ -21,7 +21,7 @@ from rfnet_tpu import losses
 from rfnet_tpu.models import RFNet
 from rfnet_tpu.ops.chamfer import chamfer_means
 from rfnet_tpu.ops.fps import farthest_point_sample, gather_point
-from rfnet_tpu.train import TrainConfig, create_state, make_jitted_steps
+from rfnet_tpu.train import TrainConfig, create_state
 
 ITERS = 10
 
@@ -98,7 +98,13 @@ def main():
 
     timeit("fps pyramids", fps_pyr, gt)
 
-    jstep, _ = make_jitted_steps(config)
+    # jit WITHOUT donation (make_jitted_steps donates the state arg, which
+    # would invalidate `state` after the first timed call)
+    import functools
+
+    from rfnet_tpu.train import train_step
+
+    jstep = jax.jit(functools.partial(train_step, n1=64, n2=1024))
 
     def step_fn(s, x, g):
         s2, lb, _ = jstep(s, x, g)
