@@ -57,7 +57,7 @@ def main():
     state = create_state(config, RFNet())
     state = _load_trained(state)
 
-    batch = 32
+    batch = 64  # measured sweet spot: +5% clouds/s over b32, b128 is flat
     rng = np.random.RandomState(0)
     partial = jnp.asarray(rng.rand(batch, config.innum, 3).astype(np.float32))
 

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from rfnet_tpu.nn import PointMLP, dense
-from rfnet_tpu.ops.chamfer import nearest_neighbor
+from rfnet_tpu.ops.chamfer import nearest_neighbor_coords
 from rfnet_tpu.ops.fps import farthest_point_sample, gather_point
 
 def _scalar_xavier(key, shape, dtype=jnp.float32):
@@ -242,8 +242,7 @@ def merge_layer(rawpts, newpts, decfactor):
     consumed (`vv_recon.py:134` uses idx2 alone), so the one-sided scan is
     used explicitly — half the kernel work.
     """
-    _, idx2 = nearest_neighbor(newpts, rawpts)  # NN of each newpt in raw
-    nn_pts = jnp.take_along_axis(rawpts, idx2[..., None], axis=1)  # (b, np, 3)
+    _, nn_pts = nearest_neighbor_coords(newpts, rawpts)  # (b, np, 3)
     delta = nn_pts - newpts
     d2 = jnp.sum(delta * delta, axis=-1, keepdims=True)
     ratio = jnp.exp(-d2 / (1e-8 + decfactor**2))

@@ -35,6 +35,7 @@ hand-written grad kernel, and from plain autodiff where gather transposes
 
 from rfnet_tpu.ops.chamfer import (
     nearest_neighbor,
+    nearest_neighbor_coords,
     nearest_neighbor_pruned,
     nn_distance,
 )
@@ -47,6 +48,7 @@ from rfnet_tpu.ops.auction import auction_match
 __all__ = [
     "nn_distance",
     "nearest_neighbor",
+    "nearest_neighbor_coords",
     "nearest_neighbor_pruned",
     "farthest_point_sample",
     "gather_point",

@@ -340,6 +340,28 @@ def nearest_neighbor_pruned(query: jax.Array, target: jax.Array):
     return d, idx
 
 
+def nearest_neighbor_coords(query: jax.Array, target: jax.Array):
+    """One-sided NN returning (dist² (b,n), nn_coords (b,n,3) = target[argmin]).
+
+    The merge layer's access pattern (`vv_recon.py:132-139` consumes the
+    neighbour's coordinates via group_point): on TPU the coordinate lookup is
+    fused into the scan kernel (one-hot MXU contraction) instead of paying
+    the ~6.7 ms XLA row gather. Outputs carry stop_gradient — callers
+    recompute distances from the coords to differentiate (the merge layer's
+    gradient contract)."""
+    query = lax.stop_gradient(query)
+    target = lax.stop_gradient(target)
+    if jax.default_backend() == "tpu":
+        from rfnet_tpu.ops.pallas.chamfer import nn_coords_pallas
+
+        try:
+            return nn_coords_pallas(query, target)
+        except Exception:  # pragma: no cover
+            pass
+    d, i = _one_sided(query, target)
+    return d, jnp.take_along_axis(target, i[..., None], axis=1)
+
+
 def nearest_neighbor(query: jax.Array, target: jax.Array):
     """One-sided NN scan: (dist² (b, n), idx (b, n)) of query into target.
 

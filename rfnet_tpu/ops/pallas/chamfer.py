@@ -83,6 +83,120 @@ def _kernel(x1t_ref, x2_ref, dist_ref, idx_ref, best_e, best_i):
         idx_ref[0] = jnp.broadcast_to(best_i[...], idx_ref.shape[1:])
 
 
+def _coords_kernel(x1t_ref, x2_ref, x2all_ref, dist_ref, nn_ref, best_e, best_i):
+    """Same min/argmin scan as :func:`_kernel`, plus a post-loop recovery of
+    the argmin's COORDINATES: a one-hot equality mask against the whole
+    target cloud contracted on the MXU. This replaces the XLA
+    ``take_along_axis`` gather the merge layer would otherwise run
+    (~6.7 ms at (32,16384,3) vs ~2 extra VPU ops/pair + a K=m matmul here).
+    """
+    mi = pl.program_id(2)
+    mt = pl.num_programs(2)
+
+    @pl.when(mi == 0)
+    def _init():
+        best_e[...] = jnp.full(best_e.shape, jnp.inf, jnp.float32)
+        best_i[...] = jnp.zeros(best_i.shape, jnp.int32)
+
+    x1 = x1t_ref[0]  # (3, TILE_N)
+    x2 = x2_ref[0]  # (TILE_M, 3)
+    s2 = jnp.sum(x2 * x2, axis=1, keepdims=True)
+    cross = (
+        x2[:, 0:1] * x1[0:1, :]
+        + x2[:, 1:2] * x1[1:2, :]
+        + x2[:, 2:3] * x1[2:3, :]
+    )
+    e = s2 - 2.0 * cross
+    lmin = jnp.min(e, axis=0, keepdims=True)
+    larg = jnp.argmin(e, axis=0).astype(jnp.int32)[None, :] + mi * e.shape[0]
+    upd = lmin < best_e[...]  # strict < keeps the first (lowest-index) tie
+    best_i[...] = jnp.where(upd, larg, best_i[...])
+    best_e[...] = jnp.where(upd, lmin, best_e[...])
+
+    @pl.when(mi == mt - 1)
+    def _write():
+        s1 = jnp.sum(x1 * x1, axis=0, keepdims=True)
+        d = jnp.maximum(best_e[...] + s1, 0.0)
+        dist_ref[0] = jnp.broadcast_to(d, dist_ref.shape[1:])
+        # one-hot gather: rows == best_i is exact-single per lane (best_i is
+        # one index), so the MXU contraction returns exactly x2[best_i]
+        x2a = x2all_ref[0]  # (m_pad, 3)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (x2a.shape[0], best_i.shape[1]), 0)
+        onehot = (rows == best_i[...]).astype(jnp.float32)  # (m_pad, TILE_N)
+        nn = jax.lax.dot_general(
+            onehot,
+            x2a,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TILE_N, 3)
+        nn_ref[0] = jnp.pad(nn, ((0, 0), (0, nn_ref.shape[2] - 3)))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def nn_coords_pallas(xyz1: jax.Array, xyz2: jax.Array):
+    """One-sided NN with fused coordinate lookup:
+    (dist² (b, n), nn_coords (b, n, 3) = xyz2[argmin]).
+
+    Identical distance/tie semantics to :func:`nn_distance_pallas`; built for
+    the merge layer (`vv_recon.py:132-139`), which consumes the neighbour's
+    coordinates, not its index.
+    """
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    tile_n = min(_TILE_N, _round_up(n, 128))
+    tile_m = min(_TILE_M, _round_up(m, 8))
+    n_pad = _round_up(n, tile_n)
+    m_pad = _round_up(m, tile_m)
+
+    x1t = jnp.pad(
+        xyz1.astype(jnp.float32).transpose(0, 2, 1),
+        ((0, 0), (0, 0), (0, n_pad - n)),
+    )
+    x2 = jnp.pad(
+        xyz2.astype(jnp.float32),
+        ((0, 0), (0, m_pad - m), (0, 0)),
+        constant_values=_PAD_COORD,
+    )
+
+    grid = (b, n_pad // tile_n, m_pad // tile_m)
+    dist, nn = pl.pallas_call(
+        _coords_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_n), lambda bi, ni, mi: (bi, 0, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, 3), lambda bi, ni, mi: (bi, mi, 0), memory_space=pltpu.VMEM),
+            # second view of the target cloud: the WHOLE (padded) cloud,
+            # constant across the grid, used only by the final one-hot gather
+            pl.BlockSpec((1, m_pad, 3), lambda bi, ni, mi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 8, tile_n), lambda bi, ni, mi: (bi, 0, ni), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_n, 8), lambda bi, ni, mi: (bi, ni, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, 8), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile_n), jnp.float32),
+            pltpu.VMEM((1, tile_n), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * b * n_pad * m_pad,
+            bytes_accessed=4 * b * (3 * n_pad + 6 * m_pad + 5 * n_pad),
+            transcendentals=0,
+        ),
+    )(x1t, x2, x2)
+    return dist[:, 0, :n], nn[:, :n, :3]
+
+
 @functools.partial(jax.jit, static_argnames=())
 def nn_distance_pallas(xyz1: jax.Array, xyz2: jax.Array):
     """One-sided NN scan: (dist (b, n) squared, idx (b, n) int32)."""

@@ -245,3 +245,39 @@ def test_nn_grad_scatter_matches_dense_scatter(rng):
         osp, osw = oracle(x1, g, idx, m)
         np.testing.assert_allclose(np.asarray(sp), osp, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(sw), osw, rtol=1e-5, atol=1e-5)
+
+
+def test_nn_coords_kernel_interpret(rng):
+    """Fused coordinate-lookup scan: distances == brute force, coords ==
+    target[argmin] under the dense kernel's first-tie rule — including exact
+    duplicated targets, the resample_pcd-common tie case (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rfnet_tpu.ops.pallas.chamfer import nn_coords_pallas
+
+    t_base = rng.rand(1, 90, 3).astype(np.float32)
+    cases = [
+        (rng.rand(2, 70, 3).astype(np.float32), rng.rand(2, 150, 3).astype(np.float32)),
+        # duplicated targets force ties; coords of any tied row are identical
+        (rng.rand(1, 50, 3).astype(np.float32), np.concatenate([t_base, t_base], 1)),
+    ]
+    for q, t in cases:
+        with pltpu.force_tpu_interpret_mode():
+            d, nn = nn_coords_pallas(jnp.asarray(q), jnp.asarray(t))
+        bd = np.sum((q[:, :, None] - t[:, None]) ** 2, -1)
+        np.testing.assert_allclose(np.asarray(d), bd.min(-1), rtol=1e-5, atol=1e-6)
+        expect = np.take_along_axis(t, bd.argmin(-1)[..., None], axis=1)
+        np.testing.assert_allclose(np.asarray(nn), expect, rtol=1e-6, atol=1e-6)
+
+
+def test_nearest_neighbor_coords_fallback(rng):
+    """CPU dispatch path: coords == target[idx] of nearest_neighbor."""
+    from rfnet_tpu.ops.chamfer import nearest_neighbor, nearest_neighbor_coords
+
+    q = jnp.asarray(rng.rand(2, 40, 3).astype(np.float32))
+    t = jnp.asarray(rng.rand(2, 60, 3).astype(np.float32))
+    d, nn = nearest_neighbor_coords(q, t)
+    d2, i2 = nearest_neighbor(q, t)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d2), rtol=1e-6)
+    expect = jnp.take_along_axis(t, i2[..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(nn), np.asarray(expect), rtol=1e-6)
