@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rfnet_tpu.ops.chamfer import chamfer_means, nn_distance
+from rfnet_tpu.ops.chamfer import chamfer_means, nearest_neighbor, nn_distance
 from rfnet_tpu.ops.emd import approx_match, approx_match_cost, match_cost
 
 
@@ -123,8 +123,13 @@ def groupin_near(ptmat: jax.Array) -> jax.Array:
 
 def zero_groupnear(ptcens: jax.Array, rawpts: jax.Array, outmat: jax.Array) -> jax.Array:
     """Hinge density regulariser (vv_recon.py:414-419): decode offsets must
-    stay below 0.4× the mean NN gap of the GT pyramids."""
-    _, _, dist2, _ = nn_distance(ptcens, rawpts)
+    stay below 0.4× the mean NN gap of the GT pyramids.
+
+    Only the rawpts→ptcens direction of the reference's nn_distance call is
+    consumed, and both point arguments are GT pyramids (loss constants, no
+    cotangent), so the one-sided stop-grad scan does half the kernel work
+    with identical values and the identical (dead) gradient contract."""
+    dist2, _ = nearest_neighbor(rawpts, ptcens)
     inval = jnp.mean(dist2)
     outval = groupin_near(outmat)
     return jax.nn.relu(outval - 0.4 * inval)
