@@ -73,3 +73,75 @@ def nn_distance_sharded(xyz1: jax.Array, xyz2: jax.Array, mesh: Mesh):
     d1, i1 = nearest_neighbor_sharded(xyz1, xyz2, mesh)
     d2, i2 = nearest_neighbor_sharded(xyz2, xyz1, mesh)
     return d1, i1, d2, i2
+
+
+def _emd_cost_local(x1, x2_shard, axis_name, multi_l, multi_r):
+    """Per-device slice of the plan-free approx-EMD cost recurrence.
+
+    The level recurrence (`tf_approxmatch.cu:1-179`; plan-free form in
+    ops/emd.approx_match_cost) is separable over the xyz2 axis given two
+    cross-device reductions per level: the row sums Σ_r w·remainR (which
+    normalise ratio_l) and the row mass Σ_r δ (which updates remain_l).
+    Both are O(b·n) scalars — negligible next to the O(b·n·m/D) local tile
+    work — and XLA lowers the psums onto ICI. All other quantities
+    (remain_r, ratio_r, the cost partial) stay shard-local.
+    """
+    from rfnet_tpu.ops.emd import _levels, _mm, _sq_dists
+
+    b, n, _ = x1.shape
+    m_loc = x2_shard.shape[1]
+    d2 = _sq_dists(x1, x2_shard)  # (b, n, m_loc)
+    dd = jnp.sqrt(d2)
+
+    def level_step(carry, level):
+        cost, remain_l, remain_r = carry  # remain_l replicated, remain_r local
+        w = jnp.exp(level * d2)
+        suml = 1e-9 + jax.lax.psum(
+            _mm(w, remain_r[:, :, None])[..., 0], axis_name
+        )  # (b, n) — global row sums
+        ratio_l = remain_l / suml
+        sumr = _mm(w.transpose(0, 2, 1), ratio_l[:, :, None])[..., 0] * remain_r
+        ratio_r = jnp.minimum(remain_r / (sumr + 1e-9), 1.0) * remain_r
+        remain_r = jnp.maximum(0.0, remain_r - sumr)
+        delta = w * ratio_l[:, :, None] * ratio_r[:, None, :]
+        cost = cost + jnp.sum(delta * dd, axis=(1, 2))  # local partial
+        remain_l = jnp.maximum(
+            0.0, remain_l - jax.lax.psum(jnp.sum(delta, axis=2), axis_name)
+        )
+        return (cost, remain_l, remain_r), None
+
+    init = (
+        jnp.zeros((b,), jnp.float32),
+        jnp.full((b, n), multi_l, jnp.float32),
+        jnp.full((b, m_loc), multi_r, jnp.float32),
+    )
+    (cost, _, _), _ = jax.lax.scan(level_step, init, _levels())
+    return jax.lax.psum(cost, axis_name)
+
+
+def approx_match_cost_sharded(xyz1: jax.Array, xyz2: jax.Array, mesh: Mesh):
+    """Plan-free approx-EMD transport cost with xyz2 sharded over the mesh.
+
+    Same value as ``ops.emd.approx_match_cost`` up to fp summation order;
+    non-differentiable (eval metric). Use when one device cannot hold the
+    (n, m) level tiles — the multi-chip analogue of the reference's 1024-pt
+    shared-memory tiling (`tf_approxmatch.cu:11,35`).
+    """
+    from rfnet_tpu.ops.emd import _capacities
+
+    axis = mesh.axis_names[0]
+    if xyz2.shape[1] % mesh.devices.size != 0:
+        raise ValueError("target count must divide the mesh size")
+    multi_l, multi_r = _capacities(xyz1.shape[1], xyz2.shape[1])
+    x1 = jax.lax.stop_gradient(xyz1.astype(jnp.float32))
+    x2 = jax.lax.stop_gradient(xyz2.astype(jnp.float32))
+    fn = jax.shard_map(
+        functools.partial(
+            _emd_cost_local, axis_name=axis, multi_l=multi_l, multi_r=multi_r
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None)),
+        out_specs=P(),
+        check_vma=False,  # psum makes the cost replicated by construction
+    )
+    return fn(x1, x2)

@@ -32,3 +32,18 @@ def test_sharded_rejects_indivisible(rng):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_sharded_emd_cost_matches_single_device(rng):
+    """approx_match_cost with the target axis sharded over the 8-device mesh
+    equals the single-device plan-free recurrence (fp summation order only)."""
+    from rfnet_tpu.ops.emd import approx_match_cost
+    from rfnet_tpu.ops.sharded import approx_match_cost_sharded
+
+    mesh = make_mesh(8)
+    # unequal sizes exercise the capacity logic (m > n here)
+    x1 = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    x2 = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32))
+    cs = jax.jit(lambda a, b: approx_match_cost_sharded(a, b, mesh))(x1, x2)
+    c = approx_match_cost(x1, x2)
+    np.testing.assert_allclose(np.asarray(cs), np.asarray(c), rtol=1e-4)
