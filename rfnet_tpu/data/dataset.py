@@ -38,6 +38,12 @@ def resample_pcd(pcd: np.ndarray, n: int, rng: np.random.RandomState | None = No
     Parity with `data_util.py:8-13`: truncation keeps the FIRST n points in
     file order; padding appends uniformly random duplicates.
     """
+    if pcd.shape[0] == n:
+        # identity (keep-first-n of an exactly-n cloud): skip the fancy-index
+        # copy — 32 such copies of a (16384,3) gt per batch are a measurable
+        # slice of the 1-core host pipeline budget. No RNG is consumed on
+        # this path in the reference either (padding only).
+        return pcd
     idx = np.arange(pcd.shape[0])
     if idx.shape[0] < n:
         r = rng if rng is not None else np.random
