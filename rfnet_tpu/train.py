@@ -184,7 +184,17 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
     train_gen = iter(train_df)
     valid_iter = iter(valid_df)
     n_devices = mesh.size if mesh is not None else 1
+    # best-by-CD survives restarts: without this a resumed run's first eval
+    # overwrites a better earlier record (observed: a 7500-step cd 0.031
+    # clobbered the 2500-step cd 0.016 best after a resume)
+    best_meta_path = os.path.join(config.workdir, "..", "bestrecord", "best.json")
     best_cd = float("inf")
+    try:
+        with open(best_meta_path) as f:
+            best_cd = float(json.load(f)["cd"])
+        print(f"best-so-far cd {best_cd:.6f} (from {best_meta_path})")
+    except Exception:
+        pass
     t_last = time.perf_counter()
     start = int(state.step)
 
@@ -269,6 +279,8 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
                 best_cd = mean_cd
                 best_mgr.save(i + 1, args=ocp.args.StandardSave(state))
                 best_mgr.wait_until_finished()
+                with open(best_meta_path, "w") as f:
+                    json.dump({"step": i + 1, "cd": best_cd}, f)
                 print("record bestsofar:", mean_emd, mean_cd)
     jax.block_until_ready(state.params)
     print(f"trained {int(state.step) - start} steps (now at step {int(state.step)})")
