@@ -72,33 +72,46 @@ def make_complete_fn(state):
 def _load_chunks(model_list, bsz, args, out_q, stop):
     """Producer thread: read + resample the next batches while the device
     computes the current one (the host PCD decode otherwise serializes with
-    the ~50-100 ms per-dispatch relay latency — CLAUDE.md)."""
+    the ~50-100 ms per-dispatch relay latency — CLAUDE.md).
+
+    Any I/O failure (missing/corrupt .pcd) is enqueued as the exception
+    itself so the consumer re-raises it — a bare daemon-thread death would
+    leave test() blocked on load_q.get() forever."""
     import queue as _q
 
-    for chunk_start in range(0, len(model_list), bsz):
-        chunk = model_list[chunk_start : chunk_start + bsz]
-        partials, gts = [], []
-        for model_id in chunk:
-            partial = read_pcd(os.path.join(args.data_dir, "partial", f"{model_id}.pcd"))
-            complete_gt = read_pcd(
-                os.path.join(args.data_dir, "complete", f"{model_id}.pcd")
-            )
-            partials.append(resample_pcd(partial, 3000).astype(np.float32))
-            gts.append(resample_pcd(complete_gt, args.num_gt_points).astype(np.float32))
-        # pad the final group so one compiled batch shape serves the whole run
-        while len(partials) < bsz:
-            partials.append(partials[-1])
-            gts.append(gts[-1])
-        item = (chunk_start, chunk, np.stack(partials), np.stack(gts))
+    def put(item) -> bool:
         while not stop.is_set():
             try:
                 out_q.put(item, timeout=0.5)
-                break
+                return True
             except _q.Full:
                 continue
-        if stop.is_set():
-            return
-    out_q.put(None)
+        return False
+
+    try:
+        for chunk_start in range(0, len(model_list), bsz):
+            chunk = model_list[chunk_start : chunk_start + bsz]
+            partials, gts = [], []
+            for model_id in chunk:
+                partial = read_pcd(
+                    os.path.join(args.data_dir, "partial", f"{model_id}.pcd")
+                )
+                complete_gt = read_pcd(
+                    os.path.join(args.data_dir, "complete", f"{model_id}.pcd")
+                )
+                partials.append(resample_pcd(partial, 3000).astype(np.float32))
+                gts.append(
+                    resample_pcd(complete_gt, args.num_gt_points).astype(np.float32)
+                )
+            # pad the final group so one compiled batch shape serves the run
+            while len(partials) < bsz:
+                partials.append(partials[-1])
+                gts.append(gts[-1])
+            if not put((chunk_start, chunk, np.stack(partials), np.stack(gts))):
+                return
+        put(None)
+    except BaseException as exc:  # re-raised by the consumer loop
+        put(exc)
 
 
 def test(args):
@@ -137,6 +150,11 @@ def test(args):
         for j, model_id in enumerate(chunk):
             i = chunk_start + j
             if i >= 10:
+                # warmup-exclusion (recon_test.py:58-64): exact at the default
+                # batch 1; at batch_size>1 `elapsed` is batch-amortized, so a
+                # batch straddling index 10 charges its post-warmup models the
+                # amortized (warmup-contaminated) value — approximate by at
+                # most one batch's worth
                 total_time += elapsed
             cd, emd = float(cds[j]), float(emds[j])
             total_cd += cd
@@ -175,11 +193,19 @@ def test(args):
         target=_load_chunks, args=(model_list, bsz, args, load_q, stop), daemon=True
     )
     loader.start()
+
+    def get_item():
+        """Next loader item; re-raises a loader-thread I/O failure here."""
+        item = load_q.get()
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
     try:
         if not pipeline:
             # reference behaviour: synchronous per-batch timing
             # (recon_test.py:58-64); only the disk reads are overlapped
-            while (item := load_q.get()) is not None:
+            while (item := get_item()) is not None:
                 chunk_start, chunk, pnp, gnp = item
                 pb = jnp.asarray(pnp)
                 gb = jnp.asarray(gnp)
@@ -201,7 +227,7 @@ def test(args):
             done_loading = False
             while not done_loading or pending:
                 while not done_loading and len(pending) < DEPTH:
-                    item = load_q.get()
+                    item = get_item()
                     if item is None:
                         done_loading = True
                         break

@@ -24,7 +24,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rfnet_tpu.ops.chamfer import chamfer_means, nearest_neighbor, nn_distance
+from rfnet_tpu.ops.chamfer import (
+    chamfer_means,
+    chamfer_means_pair,
+    nearest_neighbor,
+    nn_distance,
+)
 from rfnet_tpu.ops.emd import approx_match, approx_match_cost, match_cost
 
 
@@ -178,17 +183,22 @@ class LossBreakdown(NamedTuple):
 def total_loss(outputs, gt, gt1, gt2, step) -> LossBreakdown:
     """The composite objective (vv_recon.py:484-500).
 
-    gt (b, 16384, 3); gt1/gt2 are FPS pyramids of gt at 64/1024 points —
-    the reference recomputes them on-device each step (`vv_recon.py:474-475`);
-    this framework precomputes them in the data pipeline and passes them in.
+    gt (b, 16384, 3); gt1/gt2 are FPS pyramids of gt at 64/1024 points. Like
+    the reference (`vv_recon.py:474-475`) they are recomputed ON-DEVICE each
+    step — in `train.train_step`, via the fused Pallas FPS (~10 ms of a
+    174 ms step at b32). Host-side precomputation in the data pipeline was
+    considered and measured AGAINST: the pyramids add 417 KB/batch of
+    host→device traffic (≈10-20 ms on this relay-bound box at 20-40 MB/s —
+    a wash at best), and a 1-core-host numpy FPS of 64+1024-of-16384 is
+    ~100× slower than the device kernel. Decision recorded in PARITY.md.
     """
     cd1 = earth_mover(gt1, outputs.points1_pre)
     cd2 = earth_mover(gt2, outputs.points2_pre)
     # chamfer_big values without the (unused) indices: on TPU this dispatches
-    # to the sorted-space early-exit kernel (ops/chamfer.chamfer_means),
-    # ~4x faster than the dense 16384² scans that dominate the train step
-    m3a, m3b = chamfer_means(gt, outputs.out3)
-    m4a, m4b = chamfer_means(gt, outputs.out4)
+    # to the sorted-space early-exit kernel with gt z-sorted ONCE and
+    # out3/out4 stacked on the batch axis — two kernel launches for all four
+    # one-sided scans (ops/chamfer.chamfer_means_pair)
+    m3a, m3b, m4a, m4b = chamfer_means_pair(gt, outputs.out3, outputs.out4)
     cd3 = (m3a + m3b) / 2.0
     cd4 = (m4a + m4b) / 2.0
     recd3 = re_chamfer(gt, outputs.out3, part=8)

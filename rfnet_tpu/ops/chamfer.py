@@ -285,6 +285,95 @@ def _chamfer_means_bwd(res, gs):
 _chamfer_means_dyn.defvjp(_chamfer_means_fwd, _chamfer_means_bwd)
 
 
+def _chamfer_means_pair_fwd_impl(gt, out_a, out_b):
+    from rfnet_tpu.ops.pallas.chamfer_dyn import nn_dyn_pallas
+
+    b = gt.shape[0]
+    gts, og = sort_by_z_with_order(gt)  # ONE gt sort shared by both terms
+    outs, oo = sort_by_z_with_order(jnp.concatenate([out_a, out_b], axis=0))
+    gt2 = jnp.concatenate([gts, gts], axis=0)  # (2b, n, 3)
+    d1, i1 = nn_dyn_pallas(gt2, outs)  # gt→out, both terms in one launch
+    d2, i2 = nn_dyn_pallas(outs, gt2)  # out→gt
+    r1 = jnp.sqrt(d1)
+    r2 = jnp.sqrt(d2)
+    means = (
+        jnp.mean(r1[:b]), jnp.mean(r2[:b]),  # chamfer_means(gt, out_a)
+        jnp.mean(r1[b:]), jnp.mean(r2[b:]),  # chamfer_means(gt, out_b)
+    )
+    return means, (gts, og, outs, oo, d1, i1, d2, i2, b)
+
+
+@jax.custom_vjp
+def _chamfer_means_pair_dyn(gt: jax.Array, out_a: jax.Array, out_b: jax.Array):
+    """``chamfer_means(gt, out_a) + chamfer_means(gt, out_b)`` fused.
+
+    The train loss evaluates cd3 = chamfer_big(gt, out3) and
+    cd4 = chamfer_big(gt, out4) against the SAME ground-truth cloud
+    (`vv_recon.py:491-492`); calling :func:`_chamfer_means_dyn` twice z-sorts
+    gt twice (~7 ms each at (32,16384) — pure overhead) and launches four
+    kernels. Here gt is sorted once and out3/out4 are stacked on the batch
+    axis, so each direction is ONE dyn-kernel launch at batch 2b and the
+    backward runs one banded contraction + one unsort per cloud set.
+    Arithmetic is identical (means are taken per half; every half has equal
+    element count), so values match the unfused path bit-for-bit up to the
+    kernel's documented tie semantics.
+    """
+    out, _ = _chamfer_means_pair_fwd_impl(gt, out_a, out_b)
+    return out
+
+
+def _chamfer_means_pair_fwd(gt, out_a, out_b):
+    return _chamfer_means_pair_fwd_impl(gt, out_a, out_b)
+
+
+def _chamfer_means_pair_bwd(res, gs):
+    gts, og, outs, oo, d1, i1, d2, i2, b = res
+    ga1, ga2, gb1, gb2 = gs
+    n = d1.shape[1]
+    m = d2.shape[1]
+    # per-half cotangents of the stacked means; each half normalises by its
+    # own element count (b·n / b·m)
+    rep = lambda a_, b_: jnp.concatenate(
+        [jnp.broadcast_to(a_, (b,)), jnp.broadcast_to(b_, (b,))]
+    )[:, None]
+    gd1 = rep(ga1, gb1) / (b * n * 2.0 * jnp.maximum(jnp.sqrt(d1), 1e-7))
+    gd2 = rep(ga2, gb2) / (b * m * 2.0 * jnp.maximum(jnp.sqrt(d2), 1e-7))
+    gt2 = jnp.concatenate([gts, gts], axis=0)
+    nn1 = jnp.take_along_axis(outs, i1[..., None], axis=1)
+    nn2 = jnp.take_along_axis(gt2, i2[..., None], axis=1)
+    diff1 = gt2 - nn1
+    diff2 = outs - nn2
+    from rfnet_tpu.ops.pallas.nn_grad import nn_grad_scatter
+
+    sp2, sw2 = nn_grad_scatter(outs, gd2, i2, n)  # routed onto gt rows
+    sp1, sw1 = nn_grad_scatter(gt2, gd1, i1, m)  # routed onto out rows
+    ggt_s = 2.0 * gd1[..., None] * diff1 - 2.0 * sp2 + 2.0 * gt2 * sw2[..., None]
+    gout_s = 2.0 * gd2[..., None] * diff2 - 2.0 * sp1 + 2.0 * outs * sw1[..., None]
+    gout = _unsort_rows(oo, gout_s)  # (2b, m, 3), one unsort for both clouds
+    ggt = _unsort_rows(og, ggt_s[:b] + ggt_s[b:])
+    return ggt, gout[:b], gout[b:]
+
+
+_chamfer_means_pair_dyn.defvjp(_chamfer_means_pair_fwd, _chamfer_means_pair_bwd)
+
+
+def chamfer_means_pair(gt: jax.Array, out_a: jax.Array, out_b: jax.Array):
+    """(m_a1, m_a2, m_b1, m_b2) = chamfer_means(gt, out_a) ++ chamfer_means(gt, out_b).
+
+    TPU large shapes dispatch to the fused single-gt-sort batched-stack path;
+    elsewhere it is exactly two :func:`chamfer_means` calls."""
+    n, m = gt.shape[1], out_a.shape[1]
+    if (
+        jax.default_backend() == "tpu"
+        and out_a.shape == out_b.shape
+        and _use_dyn(n, m)
+    ):
+        return _chamfer_means_pair_dyn(gt, out_a, out_b)
+    ma = chamfer_means(gt, out_a)
+    mb = chamfer_means(gt, out_b)
+    return ma[0], ma[1], mb[0], mb[1]
+
+
 def chamfer_means(pcd1: jax.Array, pcd2: jax.Array, force_dyn: bool = False):
     """(mean √NN-dist both directions) — the chamfer_big reduction without
     indices. Dispatches the large-shape TPU case to the sorted-space

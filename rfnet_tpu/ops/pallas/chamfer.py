@@ -115,6 +115,13 @@ def _coords_kernel(x1t_ref, x2_ref, x2all_ref, dist_ref, nn_ref, best_e, best_i)
 
     @pl.when(mi == mt - 1)
     def _write():
+        # NOTE: pl.when PREDICATES on this Mosaic version (it does not skip),
+        # so the (m_pad × TILE_N) compare + K=m_pad matmul below is PAID ON
+        # EVERY mi grid step and only the last result lands. A net win was
+        # measured at the merge-layer shapes this kernel serves (m ≈ 3000 —
+        # the raw partial is always the target, vv_recon.py:213,225,238); the
+        # overhead grows with mt, so if a larger target cloud ever routes
+        # here, move the recovery into a separate single-step grid phase.
         s1 = jnp.sum(x1 * x1, axis=0, keepdims=True)
         d = jnp.maximum(best_e[...] + s1, 0.0)
         dist_ref[0] = jnp.broadcast_to(d, dist_ref.shape[1:])

@@ -147,6 +147,14 @@ def _make_kernel(
 
             up, dn = lax.fori_loop(0, rounds, one, (up, dn))
             max_bd = jnp.max(jnp.where(valid, best_e[...] + s1, -jnp.inf))
+            # conservative 4-ulp inflation: the frontier bound g² is computed
+            # through a DIFFERENT op chain than the candidate distances
+            # (|t|²−2qt vs (zlo−qz)²), so at ulp-scale near-ties a slab whose
+            # rounded g² lands just above max_bd could still hold a candidate
+            # whose rounded distance lands just below it. Widening the bound
+            # by 4 ulps makes the break airtight; extra slabs scanned can only
+            # confirm (the update keeps the global min / lowest tie index).
+            max_bd = max_bd + 4.8e-7 * jnp.abs(max_bd)
             return up, dn, max_bd
 
         lax.while_loop(cond, round_body, (anchor, anchor - 1, jnp.inf))

@@ -74,32 +74,12 @@ def _d2_rowmajor(x1, x2):
     return jnp.maximum(s1 + s2 - 2.0 * cross, 0.0)
 
 
-def _make_k1(tile_m: int):
-    def k1(band_ref, lvl_ref, x1t_ref, x2_ref, rr_ref, rl_ref, out_ref, acc):
-        bi = pl.program_id(0)
-        ni = pl.program_id(1)
-        acc[...] = jnp.zeros(acc.shape, jnp.float32)
-        x1 = x1t_ref[0]
-        lvl = lvl_ref[0, 0]
-
-        def body(i, _):
-            x2 = x2_ref[0, pl.ds(i * tile_m, tile_m), :]
-            rr = rr_ref[0, pl.ds(i * tile_m, tile_m), :]
-            w = jnp.exp(lvl * _d2_rowmajor(x1, x2))
-            acc[...] += jnp.sum(w * rr, axis=0, keepdims=True)
-            return 0
-
-        lax.fori_loop(band_ref[bi, ni, 0], band_ref[bi, ni, 1], body, 0)
-        out_ref[0] = jnp.broadcast_to(
-            rl_ref[0] / (1e-9 + acc[...]), out_ref.shape[1:]
-        )
-
-    return k1
-
-
 def _make_k2(tile_m: int):
-    # identical structure to K1 with the clouds' roles swapped: targets ride
-    # the lanes, queries are the reduced sublane axis
+    # same banded-sweep structure as K31 with the clouds' roles swapped:
+    # targets ride the lanes, queries are the reduced sublane axis. (The
+    # standalone K1 ratio-L kernel was removed as dead code: every level's
+    # K1 work is fused into K31, whose iteration-0 prev-K3 part runs dead on
+    # zero ratios.)
     def k2(band_ref, lvl_ref, x2t_ref, x1_ref, ratio_ref, out_ref, acc):
         bi = pl.program_id(0)
         mi = pl.program_id(1)

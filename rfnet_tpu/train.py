@@ -41,7 +41,13 @@ from flax.training import train_state
 from rfnet_tpu import losses
 from rfnet_tpu.models import RFNet
 from rfnet_tpu.ops.fps import farthest_point_sample, gather_point
-from rfnet_tpu.parallel import data_sharding, make_mesh, replicated
+from rfnet_tpu.parallel import (
+    data_sharding,
+    make_mesh,
+    maybe_initialize_distributed,
+    replicated,
+    shard_batch,
+)
 
 
 @dataclasses.dataclass
@@ -183,7 +189,10 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
     tb = _tb_writer("logs")
     train_gen = iter(train_df)
     valid_iter = iter(valid_df)
-    n_devices = mesh.size if mesh is not None else 1
+    # local tiling divisor: a process's eval rows must split over ITS devices
+    # (multi-host: mesh.size spans all hosts, each host feeds its own shard)
+    n_devices = mesh.size // jax.process_count() if mesh is not None else 1
+    is_lead = jax.process_index() == 0
     # best-by-CD survives restarts: without this a resumed run's first eval
     # overwrites a better earlier record (observed: a 7500-step cd 0.031
     # clobbered the 2500-step cd 0.016 best after a resume)
@@ -199,8 +208,9 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
     start = int(state.step)
 
     if mesh is not None:
-        _sh = data_sharding(mesh)
-        to_dev = lambda x: jax.device_put(x, _sh)  # noqa: E731
+        # global-array assembly from this process's batch shard: identical to
+        # device_put(x, sharding) single-process, required multi-host
+        to_dev = lambda x: shard_batch(x, mesh)  # noqa: E731
     else:
         to_dev = jax.device_put
 
@@ -249,9 +259,10 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
                     float(diag["code3_max"]), int(diag["code3_nonzero"]),
                 )
             )
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps({"step": i, **lb_host._asdict()}) + "\n")
-            if tb is not None:
+            if is_lead:
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps({"step": i, **lb_host._asdict()}) + "\n")
+            if tb is not None and is_lead:
                 with tb.as_default(step=i):
                     import tensorflow as tf  # noqa: PLC0415
 
@@ -272,15 +283,19 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
             mgr.save(i + 1, args=ocp.args.StandardSave(state))
             mgr.wait_until_finished()
             mean_cd, mean_emd = evaluate(
-                jeval, state, valid_iter, valid_num, config, n_devices
+                jeval, state, valid_iter, valid_num, config, n_devices, to_dev
             )
             print(f"eval @ {i + 1}: mean cd {mean_cd:.6f} mean emd {mean_emd:.6f}")
+            # multi-host: mean_cd is computed from replicated jeval outputs
+            # over per-process eval shards — identical on every process, so
+            # the save decision agrees and the orbax save stays collective
             if mean_cd < best_cd:
                 best_cd = mean_cd
                 best_mgr.save(i + 1, args=ocp.args.StandardSave(state))
                 best_mgr.wait_until_finished()
-                with open(best_meta_path, "w") as f:
-                    json.dump({"step": i + 1, "cd": best_cd}, f)
+                if is_lead:
+                    with open(best_meta_path, "w") as f:
+                        json.dump({"step": i + 1, "cd": best_cd}, f)
                 print("record bestsofar:", mean_emd, mean_cd)
     jax.block_until_ready(state.params)
     print(f"trained {int(state.step) - start} steps (now at step {int(state.step)})")
@@ -315,15 +330,16 @@ def _tile_for_devices(arr: np.ndarray, n_devices: int) -> np.ndarray:
 
 
 def evaluate(jeval, state, valid_iter, valid_num: int, config: TrainConfig,
-             n_devices: int = 1):
+             n_devices: int = 1, to_dev=jnp.asarray):
     """valid_iter is a persistent iterator (one prefetch thread for the whole
-    run, not one per eval)."""
+    run, not one per eval). `to_dev` places a host array on the mesh —
+    multi-host it assembles the global eval batch from per-process shards."""
     cds, emds = [], []
     for _ in range(max(1, valid_num // config.eval_size)):
         _, batch_point, _, output_point = next(valid_iter)
         partial = _tile_for_devices(np.asarray(batch_point), n_devices)
         gt = _tile_for_devices(np.asarray(output_point), n_devices)
-        cd, emd = jeval(state, jnp.asarray(partial), jnp.asarray(gt))
+        cd, emd = jeval(state, to_dev(partial), to_dev(gt))
         cds.append(float(cd))
         emds.append(float(emd))
     return float(np.mean(cds)), float(np.mean(emds))
@@ -340,6 +356,12 @@ def main(argv=None):
     p.add_argument("--ckpt_every", type=int, default=None)
     p.add_argument("--workdir", default="./modelvv_recon")
     p.add_argument("--mesh", action="store_true", help="data-parallel over all devices")
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: jax.distributed.initialize() before device queries "
+        "(also triggered by JAX_COORDINATOR_ADDRESS / RFNET_DISTRIBUTED=1); "
+        "implies --mesh",
+    )
     p.add_argument("--profile_dir", default=None, help="write a jax profiler trace here")
     p.add_argument(
         "--debug_nans", action="store_true",
@@ -349,6 +371,15 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    if args.distributed:
+        os.environ.setdefault("RFNET_DISTRIBUTED", "1")
+        args.mesh = True
+    if maybe_initialize_distributed():
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}"
+            f" ({jax.local_device_count()} local / {jax.device_count()} global devices)"
+        )
+
     config = TrainConfig(workdir=args.workdir)
     if args.steps:
         config = dataclasses.replace(config, iters=args.steps)
@@ -357,24 +388,39 @@ def main(argv=None):
     if args.ckpt_every:
         config = dataclasses.replace(config, ckpt_every=args.ckpt_every)
 
+    # per-host input pipeline: each process loads a DISJOINT 1/num_shards of
+    # the data at 1/num_shards of the global batch size; shard_batch glues
+    # the local batches into the global dp-sharded array (SURVEY §5: the
+    # Grain-worker role of the reference's ZMQ fan-out). Single-process this
+    # is shard 0-of-1 — the exact previous behaviour.
+    pc, pi = jax.process_count(), jax.process_index()
+    if config.batch_size % pc or config.eval_size % pc:
+        raise ValueError(
+            f"batch_size {config.batch_size} / eval_size {config.eval_size} "
+            f"must divide by process_count {pc}"
+        )
+    shard_kw = dict(shard_id=pi, num_shards=pc)
+    local_bs = config.batch_size // pc
+    local_eval = config.eval_size // pc
+
     if args.synthetic:
         from rfnet_tpu.data.dataset import synthetic_dataflow
 
         train_df, _ = synthetic_dataflow(
-            args.synthetic_size, config.batch_size, config.innum, config.ptnum
+            args.synthetic_size, local_bs, config.innum, config.ptnum, **shard_kw
         )
         valid_df, valid_num = synthetic_dataflow(
-            max(8, config.eval_size), config.eval_size, config.innum, config.ptnum,
-            is_training=False,
+            max(8, config.eval_size), local_eval, config.innum, config.ptnum,
+            is_training=False, **shard_kw,
         )
     else:
         from rfnet_tpu.data.dataset import lmdb_dataflow
 
         train_df, _ = lmdb_dataflow(
-            args.train_path, config.batch_size, config.innum, config.ptnum, True
+            args.train_path, local_bs, config.innum, config.ptnum, True, **shard_kw
         )
         valid_df, valid_num = lmdb_dataflow(
-            args.val_path, config.eval_size, config.innum, config.ptnum, False
+            args.val_path, local_eval, config.innum, config.ptnum, False, **shard_kw
         )
 
     if args.profile_dir:

@@ -176,6 +176,48 @@ def test_chamfer_means_dyn_value_and_grad(rng):
     np.testing.assert_allclose(np.asarray(gb_dyn), np.asarray(gb_ref), rtol=1e-3, atol=1e-6)
 
 
+def test_chamfer_means_pair_value_and_grad(rng):
+    """Fused cd3/cd4 path (one gt sort, batch-stacked outs) must match two
+    independent dense chamfer means in value AND gradient (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rfnet_tpu.losses import _safe_sqrt
+    from rfnet_tpu.ops.chamfer import _chamfer_means_pair_dyn
+
+    gt = jnp.asarray(rng.rand(2, 96, 3).astype(np.float32))
+    oa = jnp.asarray(rng.rand(2, 130, 3).astype(np.float32))
+    ob = jnp.asarray(rng.rand(2, 130, 3).astype(np.float32))
+
+    def dense_loss(oa, ob):
+        d1, _, d2, _ = nn_distance(gt, oa)
+        e1, _, e2, _ = nn_distance(gt, ob)
+        # distinct weights per term so a half-mixup would be caught
+        return (
+            1.3 * jnp.mean(_safe_sqrt(d1)) + 0.7 * jnp.mean(_safe_sqrt(d2))
+            + 0.9 * jnp.mean(_safe_sqrt(e1)) + 1.1 * jnp.mean(_safe_sqrt(e2))
+        )
+
+    def pair_loss(oa, ob):
+        ma1, ma2, mb1, mb2 = _chamfer_means_pair_dyn(gt, oa, ob)
+        return 1.3 * ma1 + 0.7 * ma2 + 0.9 * mb1 + 1.1 * mb2
+
+    with pltpu.force_tpu_interpret_mode():
+        v_p, (ga_p, gb_p) = jax.value_and_grad(pair_loss, argnums=(0, 1))(oa, ob)
+    v_r, (ga_r, gb_r) = jax.value_and_grad(dense_loss, argnums=(0, 1))(oa, ob)
+    np.testing.assert_allclose(float(v_p), float(v_r), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_r), rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_r), rtol=1e-3, atol=1e-6)
+    # the gt cotangent path must also be correct (exercised explicitly here
+    # even though the train loss never requests it)
+    ggt_p = jax.grad(lambda g: _chamfer_means_pair_dyn(g, oa, ob)[0])
+    ggt_r = jax.grad(
+        lambda g: jnp.mean(_safe_sqrt(nn_distance(g, oa)[0]))
+    )(gt)
+    with pltpu.force_tpu_interpret_mode():
+        ggt_p = ggt_p(gt)
+    np.testing.assert_allclose(np.asarray(ggt_p), np.asarray(ggt_r), rtol=1e-3, atol=1e-6)
+
+
 def test_chamfer_means_matches_chamfer_big(rng):
     """Dispatch fallback (CPU): chamfer_means halves average to chamfer_big."""
     from rfnet_tpu.losses import chamfer_big

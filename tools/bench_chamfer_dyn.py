@@ -18,6 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable as `python tools/<x>.py`
+
 from rfnet_tpu.ops.chamfer import (
     _one_sided,  # noqa: F401 (xla fallback, for reference)
     _unsort_results,

@@ -11,6 +11,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable as `python tools/<x>.py`
+
 from rfnet_tpu.ops.chamfer import _unsort_results, _zsort
 from rfnet_tpu.ops.pallas.chamfer import nn_distance_pallas
 from rfnet_tpu.ops.pallas.chamfer_dyn import nn_dyn_pallas

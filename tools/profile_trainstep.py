@@ -17,9 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable as `python tools/<x>.py`
+
 from rfnet_tpu import losses
 from rfnet_tpu.models import RFNet
-from rfnet_tpu.ops.chamfer import chamfer_means
+from rfnet_tpu.ops.chamfer import chamfer_means, chamfer_means_pair
 from rfnet_tpu.ops.fps import farthest_point_sample, gather_point
 from rfnet_tpu.train import TrainConfig, create_state
 
@@ -65,11 +68,24 @@ def main():
 
     @jax.jit
     def cd34_f(gt, o3, o4):
+        a, b_, c, d = chamfer_means_pair(gt, o3, o4)
+        return a + b_ + c + d
+
+    timeit("cd34 fwd", cd34_f, gt, out3, out4)
+
+    @jax.jit
+    def cd34_f_unfused(gt, o3, o4):
         a = chamfer_means(gt, o3)
         c = chamfer_means(gt, o4)
         return a[0] + a[1] + c[0] + c[1]
 
-    timeit("cd34 fwd", cd34_f, gt, out3, out4)
+    timeit("cd34 f unfus", cd34_f_unfused, gt, out3, out4)
+
+    @jax.jit
+    def cd34_fb_unfused(gt, o3, o4):
+        return jax.grad(lambda a, c: cd34_f_unfused(gt, a, c), argnums=(0, 1))(o3, o4)
+
+    timeit("cd34 fb unfus", cd34_fb_unfused, gt, out3, out4)
 
     @jax.jit
     def cd34_fb(gt, o3, o4):
