@@ -57,8 +57,10 @@ def main(argv=None):
     d_all = 100 * (o_cd - b_cd) / b_cd
     print(f"{'ALL':>12} {o_cd:>10.6f} {b_cd:>10.6f} {d_all:>7.2f}%")
     print(f"overall fidelity('emd' col): ours {o_emd:.6f} base {b_emd:.6f}")
+    # exit code doubles as the parity gate: 0 = within the 1% band
+    # (BASELINE.md north star), 2 = outside
     print("PARITY" if abs(d_all) <= 1.0 else "OUTSIDE 1% BAND")
-    return 0
+    return 0 if abs(d_all) <= 1.0 else 2
 
 
 if __name__ == "__main__":
