@@ -82,6 +82,12 @@ def main():
     dt = time.perf_counter() - t0
     clouds_per_sec = batch * iters / dt
 
+    # Component breakdown (VERDICT r2 #8): sub-timings captured in the
+    # driver's environment, where on-chip numbers can actually be measured —
+    # BENCH_r*.json then carries the full evidence trail, not one scalar.
+    breakdown = _component_breakdown(state, config)
+    breakdown["fwd_b64_ms"] = round(dt / iters * 1e3, 2)
+
     print(
         json.dumps(
             {
@@ -91,9 +97,83 @@ def main():
                 "vs_baseline": round(
                     clouds_per_sec / BASELINE_CLOUDS_PER_SEC_PER_CHIP, 4
                 ),
+                "breakdown": breakdown,
             }
         )
     )
+
+
+def _component_breakdown(state, config):
+    """Per-component on-chip ms at the training batch (32): the train step's
+    major pieces, so regressions localize without re-running the profiler."""
+    import functools
+
+    from rfnet_tpu import losses
+    from rfnet_tpu.ops.chamfer import chamfer_means_pair
+    from rfnet_tpu.ops.fps import farthest_point_sample, gather_point
+    from rfnet_tpu.train import train_step
+
+    b = 32
+    rng = np.random.RandomState(1)
+    partial = jnp.asarray(rng.rand(b, config.innum, 3).astype(np.float32))
+    gt = jnp.asarray(rng.rand(b, config.ptnum, 3).astype(np.float32))
+    out3 = jnp.asarray(rng.rand(b, config.ptnum, 3).astype(np.float32))
+    out4 = jnp.asarray(rng.rand(b, config.ptnum, 3).astype(np.float32))
+    gt1 = jnp.asarray(rng.rand(b, 64, 3).astype(np.float32))
+    gt2 = jnp.asarray(rng.rand(b, 1024, 3).astype(np.float32))
+    p1 = jnp.asarray(rng.rand(b, 64, 3).astype(np.float32))
+    p2 = jnp.asarray(rng.rand(b, 1024, 3).astype(np.float32))
+
+    def timed(fn, *args, iters=5):
+        float(jnp.sum(jax.tree_util.tree_leaves(fn(*args))[0]))  # compile
+        float(jnp.sum(jax.tree_util.tree_leaves(fn(*args))[0]))  # warm
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        float(jnp.sum(jax.tree_util.tree_leaves(outs[-1])[0]))
+        return round((time.perf_counter() - t0) / iters * 1e3, 2)
+
+    res = {}
+    res["fwd_b32_ms"] = timed(
+        jax.jit(lambda p, x: state.apply_fn(p, x).out4), state.params, partial
+    )
+    res["cd34_fb_b32_ms"] = timed(
+        jax.jit(
+            lambda g, a, c: jax.grad(
+                lambda aa, cc: sum(chamfer_means_pair(g, aa, cc)), argnums=(0, 1)
+            )(a, c)
+        ),
+        gt, out3, out4,
+    )
+    res["emd_fb_b32_ms"] = timed(
+        jax.jit(
+            lambda g1, g2, a, c: jax.grad(
+                lambda aa, cc: losses.earth_mover(g1, aa) + losses.earth_mover(g2, cc),
+                argnums=(0, 1),
+            )(a, c)
+        ),
+        gt1, gt2, p1, p2,
+    )
+    res["recd_fb_b32_ms"] = timed(
+        jax.jit(lambda g, a: jax.grad(lambda aa: losses.re_chamfer(g, aa, part=8))(a)),
+        gt, out3,
+    )
+    res["fps_pyramids_b32_ms"] = timed(
+        jax.jit(
+            lambda g: (
+                gather_point(g, farthest_point_sample(64, g)),
+                gather_point(g, farthest_point_sample(1024, g)),
+            )
+        ),
+        gt,
+    )
+    res["eval_emd_16k_b4_ms"] = timed(
+        jax.jit(losses.earth_mover_eval), gt[:4], out4[:4]
+    )
+    jstep = jax.jit(functools.partial(train_step, n1=64, n2=1024))
+    res["train_step_b32_ms"] = timed(
+        lambda s, x, g: jstep(s, x, g)[1].total, state, partial, gt
+    )
+    return res
 
 
 if __name__ == "__main__":

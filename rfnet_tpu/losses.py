@@ -152,17 +152,24 @@ def piecewise_constant(step, boundaries, values):
     return jnp.asarray(values)[idx]
 
 
-def learning_rate(step) -> jax.Array:
-    """Adam LR: 5e-4 → 1e-5 over [50k, 100k, 150k, 200k] (vv_recon.py:479-480)."""
+def learning_rate(step, scale: float = 1.0) -> jax.Array:
+    """Adam LR: 5e-4 → 1e-5 over [50k, 100k, 150k, 200k] (vv_recon.py:479-480).
+
+    ``scale`` compresses the boundary schedule proportionally (scale=0.1 →
+    boundaries at 5k/10k/15k/20k) for runs shorter than the reference's 300k
+    steps; values are untouched. scale=1 is exact reference parity."""
     return piecewise_constant(
-        step, [50_000, 100_000, 150_000, 200_000],
+        step, [b * scale for b in (50_000, 100_000, 150_000, 200_000)],
         [0.0005, 0.0002, 0.0002, 0.0001, 0.00001],
     )
 
 
-def decfactor_weight(step) -> jax.Array:
-    """α₁ penalty weight: 0.01 → 0.001 at 150k (vv_recon.py:481-482)."""
-    return piecewise_constant(step, [50_000, 150_000], [0.01, 0.01, 0.001])
+def decfactor_weight(step, scale: float = 1.0) -> jax.Array:
+    """α₁ penalty weight: 0.01 → 0.001 at 150k (vv_recon.py:481-482);
+    ``scale`` compresses the boundaries like :func:`learning_rate`."""
+    return piecewise_constant(
+        step, [50_000 * scale, 150_000 * scale], [0.01, 0.01, 0.001]
+    )
 
 
 class LossBreakdown(NamedTuple):
@@ -180,7 +187,7 @@ class LossBreakdown(NamedTuple):
     loss_dec: jax.Array
 
 
-def total_loss(outputs, gt, gt1, gt2, step) -> LossBreakdown:
+def total_loss(outputs, gt, gt1, gt2, step, schedule_scale: float = 1.0) -> LossBreakdown:
     """The composite objective (vv_recon.py:484-500).
 
     gt (b, 16384, 3); gt1/gt2 are FPS pyramids of gt at 64/1024 points. Like
@@ -207,7 +214,7 @@ def total_loss(outputs, gt, gt1, gt2, step) -> LossBreakdown:
     loss_d1 = 0.05 * zero_groupnear(gt1, gt2, outputs.moves1)
     loss_d2 = 0.05 * zero_groupnear(gt2, gt, outputs.moves2)
     loss_dec = jnp.sum(outputs.decfactor_sq)
-    alpha1 = decfactor_weight(step)
+    alpha1 = decfactor_weight(step, schedule_scale)
     loss = loss + loss_d1 + loss_d2 + alpha1 * loss_dec
     return LossBreakdown(
         total=loss,

@@ -69,6 +69,10 @@ class TrainConfig:
     # 'bfloat16' = serving mode for the feature MLPs (params/coords stay f32;
     # measured CD delta 0.02% on a trained model — see PARITY.md)
     compute_dtype: str = "float32"
+    # compresses the LR/α₁ schedule boundaries proportionally for runs
+    # shorter than the reference's 300k steps (1.0 = exact reference parity;
+    # 0.1 → LR boundaries 5k/10k/15k/20k for a 30k-step run)
+    schedule_scale: float = 1.0
 
 
 class TrainState(train_state.TrainState):
@@ -82,18 +86,23 @@ def create_state(config: TrainConfig, model: RFNet | None = None) -> TrainState:
         jax.random.PRNGKey(config.seed),
         jnp.zeros((1, config.innum, 3), jnp.float32),
     )
-    tx = optax.adam(learning_rate=losses.learning_rate)
+    tx = optax.adam(
+        learning_rate=functools.partial(
+            losses.learning_rate, scale=config.schedule_scale
+        )
+    )
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
-def train_step(state: TrainState, partial: jax.Array, gt: jax.Array, *, n1: int, n2: int):
+def train_step(state: TrainState, partial: jax.Array, gt: jax.Array, *, n1: int,
+               n2: int, schedule_scale: float = 1.0):
     """One fused optimization step. n1/n2 are the coarse pyramid sizes."""
     gt1 = gather_point(gt, farthest_point_sample(n1, gt))
     gt2 = gather_point(gt, farthest_point_sample(n2, gt))
 
     def loss_fn(params):
         out = state.apply_fn(params, partial)
-        lb = losses.total_loss(out, gt, gt1, gt2, state.step)
+        lb = losses.total_loss(out, gt, gt1, gt2, state.step, schedule_scale)
         return lb.total, (lb, out)
 
     (_, (lb, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -123,7 +132,9 @@ def eval_step(state: TrainState, partial: jax.Array, gt: jax.Array):
 def make_jitted_steps(config: TrainConfig, mesh=None):
     n1 = 2 * config.n_seed
     n2 = n1 * config.up_ratio
-    step_fn = functools.partial(train_step, n1=n1, n2=n2)
+    step_fn = functools.partial(
+        train_step, n1=n1, n2=n2, schedule_scale=config.schedule_scale
+    )
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0), jax.jit(eval_step)
     repl = replicated(mesh)
@@ -351,6 +362,16 @@ def main(argv=None):
     p.add_argument("--val_path", default="../../dense_data/valid.lmdb")
     p.add_argument("--synthetic", action="store_true", help="train on synthetic clouds")
     p.add_argument("--synthetic_size", type=int, default=256)
+    p.add_argument(
+        "--synthetic_val_size", type=int, default=None,
+        help="HELD-OUT synthetic validation set of this many samples "
+        "(disjoint generator seed); default = the legacy in-sample 8",
+    )
+    p.add_argument(
+        "--schedule_scale", type=float, default=None,
+        help="compress the LR/α₁ boundary schedule by this factor "
+        "(0.1 → reference boundaries ÷10 for a 30k-step run)",
+    )
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--ckpt_every", type=int, default=None)
@@ -387,6 +408,8 @@ def main(argv=None):
         config = dataclasses.replace(config, batch_size=args.batch_size)
     if args.ckpt_every:
         config = dataclasses.replace(config, ckpt_every=args.ckpt_every)
+    if args.schedule_scale:
+        config = dataclasses.replace(config, schedule_scale=args.schedule_scale)
 
     # per-host input pipeline: each process loads a DISJOINT 1/num_shards of
     # the data at 1/num_shards of the global batch size; shard_batch glues
@@ -409,9 +432,13 @@ def main(argv=None):
         train_df, _ = synthetic_dataflow(
             args.synthetic_size, local_bs, config.innum, config.ptnum, **shard_kw
         )
+        # held-out split: a DISJOINT generator seed, so eval measures
+        # generalisation instead of training-set recall
+        val_n = args.synthetic_val_size or max(8, config.eval_size)
+        val_seed = 1234 if args.synthetic_val_size else 0
         valid_df, valid_num = synthetic_dataflow(
-            max(8, config.eval_size), local_eval, config.innum, config.ptnum,
-            is_training=False, **shard_kw,
+            val_n, local_eval, config.innum, config.ptnum,
+            is_training=False, seed=val_seed, **shard_kw,
         )
     else:
         from rfnet_tpu.data.dataset import lmdb_dataflow

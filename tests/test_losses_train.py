@@ -50,6 +50,17 @@ def test_schedules_match_reference():
         np.testing.assert_allclose(float(losses.learning_rate(step)), lr, rtol=1e-6)
     for step, a1 in [(0, 0.01), (150_000, 0.01), (150_001, 0.001)]:
         np.testing.assert_allclose(float(losses.decfactor_weight(step)), a1, rtol=1e-6)
+    # schedule_scale compresses boundaries proportionally, keeping the same
+    # boundary-inclusive semantics and untouched values (scale=1 = parity)
+    for step, lr in [(0, 5e-4), (5_000, 5e-4), (5_001, 2e-4), (20_000, 1e-4),
+                     (20_001, 1e-5)]:
+        np.testing.assert_allclose(
+            float(losses.learning_rate(step, scale=0.1)), lr, rtol=1e-6
+        )
+    for step, a1 in [(15_000, 0.01), (15_001, 0.001)]:
+        np.testing.assert_allclose(
+            float(losses.decfactor_weight(step, scale=0.1)), a1, rtol=1e-6
+        )
 
 
 def test_zero_groupnear_hinge(rng):
