@@ -85,7 +85,10 @@ def main():
     # Component breakdown (VERDICT r2 #8): sub-timings captured in the
     # driver's environment, where on-chip numbers can actually be measured —
     # BENCH_r*.json then carries the full evidence trail, not one scalar.
-    breakdown = _component_breakdown(state, config)
+    try:
+        breakdown = _component_breakdown(state, config)
+    except Exception as e:  # the headline metric must always print
+        breakdown = {"error": repr(e)[:200]}
     breakdown["fwd_b64_ms"] = round(dt / iters * 1e3, 2)
 
     print(
