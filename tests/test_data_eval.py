@@ -379,3 +379,38 @@ def test_full_protocol_drive(tmp_path, rng, monkeypatch):
     spec.loader.exec_module(cmp_mod)
     code = cmp_mod.main([ours_csv, baseline_csv])
     assert code == 0  # within the 1% parity band
+
+
+def test_eval_loader_failure_raises_not_hangs(tmp_path, rng, monkeypatch):
+    """A corrupt/missing .pcd must surface as an exception in test() (the
+    loader thread forwards it through the queue) — previously the daemon
+    thread died silently and test() blocked forever (ADVICE r2)."""
+    import pytest
+
+    from rfnet_tpu import eval as eval_mod
+    from rfnet_tpu.train import TrainConfig
+
+    ids = ["0001/a", "0001/b"]
+    for mid in ids:
+        for kind, n in [("partial", 40), ("complete", 128)]:
+            p = os.path.join(tmp_path, "data", kind, mid + ".pcd")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            save_pcd(p, rng.rand(n, 3).astype(np.float32))
+    # corrupt the SECOND model's partial so the failure lands mid-run
+    with open(os.path.join(tmp_path, "data", "partial", "0001/b.pcd"), "wb") as f:
+        f.write(b"not a pcd file")
+    list_path = os.path.join(tmp_path, "test.list")
+    with open(list_path, "w") as f:
+        f.write("\n".join(ids))
+    monkeypatch.setattr(
+        eval_mod, "TrainConfig",
+        lambda **kw: TrainConfig(n_seed=4, up_ratio=4, ptnum=128, **kw),
+    )
+    with pytest.raises(Exception):
+        eval_mod.main([
+            "--list_path", list_path,
+            "--data_dir", os.path.join(tmp_path, "data"),
+            "--checkpoint", os.path.join(tmp_path, "nockpt"),
+            "--results_dir", os.path.join(tmp_path, "results"),
+            "--num_gt_points", "128",
+        ])
