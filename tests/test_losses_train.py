@@ -195,3 +195,27 @@ def test_chamfer_grad_finite_at_zero_distance():
     assert bool(jnp.all(jnp.isfinite(g)))
     g2 = jax.grad(lambda x: losses.fidelity_loss(x, a))(a)
     assert bool(jnp.all(jnp.isfinite(g2)))
+
+
+def test_preload_device_batches_match_host_path():
+    """On-device batch assembly (preload + index-stream gather) must produce
+    bit-identical batches to the host dataflow path (same epoch permutation,
+    same deterministic truncation resample)."""
+    import jax.numpy as jnp
+
+    from rfnet_tpu.data.dataset import synthetic_dataflow
+    from rfnet_tpu.train import TrainConfig, preload_device_data
+
+    config = TrainConfig(batch_size=4, innum=64, ptnum=128)
+    df, _ = synthetic_dataflow(16, config.batch_size, config.innum, config.ptnum)
+    parts_dev, gts_dev, index_iter = preload_device_data(df, config)
+    host_iter = iter(df)
+    for _ in range(5):  # crosses an epoch boundary (16 samples / batch 4)
+        _, host_parts, _, host_gts = next(host_iter)
+        idx = np.asarray([next(index_iter) for _ in range(config.batch_size)])
+        np.testing.assert_array_equal(
+            np.asarray(jnp.take(parts_dev, jnp.asarray(idx), axis=0)), host_parts
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jnp.take(gts_dev, jnp.asarray(idx), axis=0)), host_gts
+        )
