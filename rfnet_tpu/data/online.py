@@ -1,0 +1,86 @@
+"""On-device infinite synthetic training data.
+
+A `jax.random` re-implementation of `data.dataset.synthetic_pairs` (same
+distribution: 8-gaussian-blob surfaces, a half-space "view" crop, a uniform
+subset down to ``innum`` points) that runs entirely INSIDE jit on the
+training chip. Each batch derives from ``fold_in(base_key, step)`` so the
+stream never repeats and is bit-deterministic across checkpoint resumes.
+
+Why this exists (round 3): the finite-set runs cannot separate optimizer
+instability from plain overfitting — a 4096-sample set at batch 32 revisits
+every sample every 128 steps, and the held-out eval CD rising after step
+~10k is exactly what a 3.8M-param model overfitting 4096 samples looks
+like. With a never-repeating stream there IS no training set to memorize:
+if the held-out eval curve is monotone-to-plateau here, the training
+dynamics (losses, schedules, Adam wiring — `vv_recon.py:479-504` parity)
+are sound, and the finite-set rise is attributable to generalization gap.
+
+It is also the fastest data path on a relay-attached host: zero
+host→device bytes per step (vs ~6.3 MB for a b32 batch), and cheaper than
+``--preload_device`` HBM residency (no resident copy of a finite set).
+
+Implementation notes (hardware): the two "pick a subset" stages use
+variadic ``lax.sort`` carrying the coordinate columns as payload —
+measured ~7 ms at (32, 16384) on v5e vs ~13 ms for argsort+gather
+(CLAUDE.md kernel facts) — so generation adds ~12 ms to a ~200 ms train
+step and overlaps dispatch anyway.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NUM_BLOBS = 8
+BLOB_SCALE = 0.3
+NOISE_SCALE = 0.08
+
+
+def _take_best(keys: jax.Array, pts: jax.Array, k: int) -> jax.Array:
+    """Rows of ``pts`` holding the ``k`` LARGEST ``keys``, via one variadic
+    descending sort carrying x/y/z as payload (keys: (b, n); pts: (b, n, 3))."""
+    _, x, y, z = jax.lax.sort(
+        (-keys, pts[..., 0], pts[..., 1], pts[..., 2]), dimension=-1, num_keys=1
+    )
+    return jnp.stack([x[:, :k], y[:, :k], z[:, :k]], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def synthetic_batch(key: jax.Array, batch: int, innum: int, ptnum: int):
+    """One (partial (b, innum, 3), gt (b, ptnum, 3)) batch, all on device.
+
+    Matches `synthetic_pairs` (dataset.py:59-78) distributionally: gt =
+    blob mixture; partial = a uniform ``innum``-subset of the half of gt on
+    the positive side of a random plane through the projection median (for
+    continuous samples the strict-median crop of the host generator keeps
+    exactly n/2 points, which is what the rank cut below selects).
+    """
+    kc, kw, kn, kv, ks = jax.random.split(key, 5)
+    centers = BLOB_SCALE * jax.random.normal(kc, (batch, NUM_BLOBS, 3))
+    which = jax.random.randint(kw, (batch, ptnum), 0, NUM_BLOBS)
+    gt = jax.vmap(lambda c, w: c[w])(centers, which)
+    gt = gt + NOISE_SCALE * jax.random.normal(kn, (batch, ptnum, 3))
+
+    view = jax.random.normal(kv, (batch, 3))
+    proj = jnp.einsum("bnd,bd->bn", gt, view)
+    half = ptnum // 2
+    crop = _take_best(proj, gt, half)
+    # uniform innum-of-half subset without replacement: rank random uniforms
+    u = jax.random.uniform(ks, (batch, half))
+    partial = _take_best(u, crop, innum)
+    return partial, gt
+
+
+def batch_stream(base_key: jax.Array, start_step: int, batch: int, innum: int,
+                 ptnum: int):
+    """Infinite iterator of on-device batches; step-indexed key folding makes
+    the stream identical across restarts (resume at step S regenerates the
+    exact batches a straight-through run would have seen from S)."""
+    step = start_step
+    while True:
+        yield synthetic_batch(
+            jax.random.fold_in(base_key, step), batch, innum, ptnum
+        )
+        step += 1

@@ -221,7 +221,7 @@ def preload_device_data(train_df, config: TrainConfig):
 
 
 def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=False,
-          preload_device=False):
+          preload_device=False, synthetic_online=False):
     import orbax.checkpoint as ocp
 
     mesh = make_mesh() if use_mesh else None
@@ -235,7 +235,7 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
     tb = _tb_writer("logs")
     # preload mode drives batches from the index stream directly — don't
     # spin up the host prefetch worker just to park on a full queue
-    train_gen = None if preload_device else iter(train_df)
+    train_gen = None if (preload_device or synthetic_online) else iter(train_df)
     valid_iter = iter(valid_df)
     # local tiling divisor: a process's eval rows must split over ITS devices
     # (multi-host: mesh.size spans all hosts, each host feeds its own shard)
@@ -262,7 +262,21 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
     else:
         to_dev = jax.device_put
 
-    if preload_device:
+    if synthetic_online:
+        # infinite on-device data (data/online.py): no host->device bytes,
+        # no finite set to overfit — the training-stability capability proof
+        if mesh is not None:
+            raise ValueError("--synthetic_online is single-process/non-mesh for now")
+        from rfnet_tpu.data.online import batch_stream
+
+        stream = batch_stream(
+            jax.random.PRNGKey(config.seed), start, config.batch_size,
+            config.innum, config.ptnum,
+        )
+        fetch = lambda: next(stream)  # noqa: E731
+        staged = fetch()
+        stage_stop = None
+    elif preload_device:
         if mesh is not None:
             raise ValueError("--preload_device is single-process/non-mesh for now")
         partials_dev, gts_dev, index_iter = preload_device_data(train_df, config)
@@ -457,6 +471,13 @@ def main(argv=None):
         "(disjoint generator seed); default = the legacy in-sample 8",
     )
     p.add_argument(
+        "--synthetic_online", action="store_true",
+        help="infinite on-device synthetic stream (data/online.py): batches "
+        "are generated inside jit from a step-indexed key fold — no "
+        "host->device transfer, no finite set to overfit; eval uses the "
+        "held-out seed-1234 synthetic set",
+    )
+    p.add_argument(
         "--preload_device", action="store_true",
         help="upload the whole training set to device HBM once and gather "
         "batches on-device (removes the per-step host->device copy; "
@@ -521,7 +542,16 @@ def main(argv=None):
     local_bs = config.batch_size // pc
     local_eval = config.eval_size // pc
 
-    if args.synthetic:
+    if args.synthetic_online:
+        from rfnet_tpu.data.dataset import synthetic_dataflow
+
+        train_df = None  # batches come from the on-device stream
+        val_n = args.synthetic_val_size or 64
+        valid_df, valid_num = synthetic_dataflow(
+            val_n, local_eval, config.innum, config.ptnum,
+            is_training=False, seed=1234, **shard_kw,
+        )
+    elif args.synthetic:
         from rfnet_tpu.data.dataset import synthetic_dataflow
 
         train_df, _ = synthetic_dataflow(
@@ -549,7 +579,8 @@ def main(argv=None):
         jax.profiler.start_trace(args.profile_dir)
     try:
         train(config, train_df, valid_df, valid_num, use_mesh=args.mesh,
-              preload_device=args.preload_device)
+              preload_device=args.preload_device,
+              synthetic_online=args.synthetic_online)
     finally:
         if args.profile_dir:
             jax.profiler.stop_trace()
