@@ -30,7 +30,7 @@ from rfnet_tpu.ops.chamfer import (
     nearest_neighbor,
     nn_distance,
 )
-from rfnet_tpu.ops.emd import approx_match, approx_match_cost, match_cost
+from rfnet_tpu.ops.emd import approx_match_cost, approx_match_cost_diff
 
 
 @jax.custom_jvp
@@ -69,11 +69,14 @@ def fidelity_loss(pcd1: jax.Array, pcd2: jax.Array) -> jax.Array:
 
 
 def earth_mover(pcd1: jax.Array, pcd2: jax.Array) -> jax.Array:
-    """Approx-EMD cost per point, meaned over the batch (vv_recon.py:392-399)."""
+    """Approx-EMD cost per point, meaned over the batch (vv_recon.py:392-399).
+
+    Uses the fused differentiable plan-free recurrence (same value and the
+    reference's hand-written gradient, no (b, m, n) plan tensor — see
+    ops/emd.approx_match_cost_diff)."""
     assert pcd1.shape[1] == pcd2.shape[1], "earth_mover requires equal sizes"
     num_points = float(pcd1.shape[1])
-    match = approx_match(pcd1, pcd2)
-    cost = match_cost(pcd1, pcd2, match)
+    cost = approx_match_cost_diff(pcd1, pcd2)
     return jnp.mean(cost / num_points)
 
 

@@ -11,6 +11,8 @@ chamfer.nn_distance    NnDistance/NnDistanceGrad
 emd.approx_match       ApproxMatch (pc_distance/tf_approxmatch.cu:1-179)
 emd.match_cost         MatchCost/MatchCostGrad (tf_approxmatch.cu:183-295)
 emd.approx_match_cost  fused plan-free cost (eval; same recurrence + cost)
+emd.approx_match_cost_diff  fused DIFFERENTIABLE cost (train; plan-free
+                       value + the reference MatchCostGrad gradients)
 auction.auction_match  AuctionMatch (tf_ops/emd/tf_auctionmatch_g.cu)
 fps.farthest_point_sample
                        FarthestPointSample (tf_ops/sampling/tf_sampling_g.cu:105-170)
@@ -42,7 +44,12 @@ from rfnet_tpu.ops.chamfer import (
 from rfnet_tpu.ops.fps import farthest_point_sample, gather_point, sampling
 from rfnet_tpu.ops.grouping import group_point, knn_point, query_ball_point
 from rfnet_tpu.ops.interpolate import three_interpolate, three_nn
-from rfnet_tpu.ops.emd import approx_match, approx_match_cost, match_cost
+from rfnet_tpu.ops.emd import (
+    approx_match,
+    approx_match_cost,
+    approx_match_cost_diff,
+    match_cost,
+)
 from rfnet_tpu.ops.auction import auction_match
 
 __all__ = [
@@ -60,6 +67,7 @@ __all__ = [
     "three_interpolate",
     "approx_match",
     "approx_match_cost",
+    "approx_match_cost_diff",
     "match_cost",
     "auction_match",
 ]

@@ -298,6 +298,100 @@ def approx_match_cost(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# fused differentiable cost (train path)
+# ---------------------------------------------------------------------------
+
+
+def _amc_diff_impl(xyz1, xyz2):
+    """One 10-level scan producing the cost AND the match_cost gradients.
+
+    The reference train path is ``match_cost(x1, x2, approx_match(x1, x2))``
+    with the plan non-differentiable (`tf_approxmatch.py:19,44-50`), so the
+    only things autodiff ever needs are cost = Σ match·d and the hand-written
+    gradient g1_k = (Σ_l c_kl)·x1_k − Σ_l c_kl·x2_l (and symmetrically g2)
+    with c = match·rsqrt(max(d², 1e−20)). Both are LINEAR in the plan, and
+    the plan is a sum of per-level deltas — so cost, the row/col sums of c,
+    and the two 3-vector moments Σ c·x2 / Σ c·x1 can all be accumulated
+    inside the level recurrence. The (b, n, m) plan is never materialised
+    and the separate match_cost forward+backward passes disappear; only the
+    (b, n, m) d² matrix is resident (recomputed nowhere). Residuals saved
+    for the VJP are O(n+m): the two gradient fields themselves.
+    """
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    multi_l, multi_r = _capacities(n, m)
+    d2 = _sq_dists(xyz1, xyz2)  # (b, n, m)
+
+    def level_step(carry, level):
+        cost, row, col, p1, p2, remain_l, remain_r = carry
+        w = jnp.exp(level * d2)
+        suml = 1e-9 + _mm(w, remain_r[:, :, None])[..., 0]
+        ratio_l = remain_l / suml
+        sumr = _mm(w.transpose(0, 2, 1), ratio_l[:, :, None])[..., 0] * remain_r
+        ratio_r = jnp.minimum(remain_r / (sumr + 1e-9), 1.0) * remain_r
+        remain_r = jnp.maximum(0.0, remain_r - sumr)
+        delta = w * ratio_l[:, :, None] * ratio_r[:, None, :]
+        cost = cost + jnp.sum(delta * jnp.sqrt(d2), axis=(1, 2))
+        c = delta * lax.rsqrt(jnp.maximum(d2, 1e-20))  # this level's slice of c
+        row = row + jnp.sum(c, axis=2)
+        col = col + jnp.sum(c, axis=1)
+        p1 = p1 + _mm(c, xyz2)
+        p2 = p2 + _mm(c.transpose(0, 2, 1), xyz1)
+        remain_l = jnp.maximum(0.0, remain_l - jnp.sum(delta, axis=2))
+        return (cost, row, col, p1, p2, remain_l, remain_r), None
+
+    init = (
+        jnp.zeros((b,), jnp.float32),
+        jnp.zeros((b, n), jnp.float32),
+        jnp.zeros((b, m), jnp.float32),
+        jnp.zeros((b, n, 3), jnp.float32),
+        jnp.zeros((b, m, 3), jnp.float32),
+        jnp.full((b, n), multi_l, jnp.float32),
+        jnp.full((b, m), multi_r, jnp.float32),
+    )
+    (cost, row, col, p1, p2, _, _), _ = lax.scan(level_step, init, _levels())
+    g1 = row[..., None] * xyz1 - p1
+    g2 = col[..., None] * xyz2 - p2
+    return cost, g1, g2
+
+
+@jax.custom_vjp
+def _amc_diff(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    cost, _, _ = _amc_diff_impl(
+        lax.stop_gradient(xyz1), lax.stop_gradient(xyz2)
+    )
+    return cost
+
+
+def _amc_diff_fwd(xyz1, xyz2):
+    cost, g1, g2 = _amc_diff_impl(xyz1, xyz2)
+    return cost, (g1, g2)
+
+
+def _amc_diff_bwd(res, g):
+    g1, g2 = res
+    gb = g[:, None, None]
+    return gb * g1, gb * g2
+
+
+_amc_diff.defvjp(_amc_diff_fwd, _amc_diff_bwd)
+
+
+def approx_match_cost_diff(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    """Differentiable fused ``match_cost(x1, x2, approx_match(x1, x2))``.
+
+    Exactly the composed pair's value and gradient (up to fp summation
+    order — the moments distribute over the per-level deltas), with no
+    (b, m, n) plan tensor and no separate cost passes. Use on the TRAIN
+    path (`earth_mover`, vv_recon.py:392-399) at full-matrix shapes; falls
+    back to the composed ops above the full-path size cap.
+    """
+    if xyz1.shape[0] * xyz1.shape[1] * xyz2.shape[1] > _FULL_PATH_MAX_ELEMS:
+        return match_cost(xyz1, xyz2, approx_match(xyz1, xyz2))
+    return _amc_diff(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
 # match_cost
 # ---------------------------------------------------------------------------
 

@@ -398,6 +398,11 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
                 jeval, state, valid_iter, valid_num, config, n_devices, to_dev
             )
             print(f"eval @ {i + 1}: mean cd {mean_cd:.6f} mean emd {mean_emd:.6f}")
+            if is_lead:  # machine-readable eval curve alongside the scalars
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(
+                        {"step": i + 1, "eval_cd": mean_cd, "eval_emd": mean_emd}
+                    ) + "\n")
             # multi-host: mean_cd is computed from replicated jeval outputs
             # over per-process eval shards — identical on every process, so
             # the save decision agrees and the orbax save stays collective

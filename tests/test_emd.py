@@ -134,6 +134,35 @@ def test_match_cost_value_and_grad(rng):
         assert abs((lp - lm) / (2 * eps) - float(np.asarray(g).reshape(-1)[flat])) < 2e-2
 
 
+@pytest.mark.parametrize("n,m", [(32, 32), (96, 32), (24, 72)])
+def test_amc_diff_value_and_grad_match_composed(rng, n, m):
+    """The fused differentiable cost (train path) must reproduce the composed
+    match_cost∘approx_match pair: same value AND the same hand-written
+    gradient, with the plan never materialised. The moments distribute over
+    the per-level deltas, so agreement is up to fp summation order only.
+    (No direct FD check: an FD probe re-solves the plan, whose sensitivity
+    the reference gradient deliberately excludes — the fixed-plan FD check
+    lives in test_match_cost_value_and_grad.)"""
+    from rfnet_tpu.ops.emd import approx_match_cost_diff
+
+    x1 = jnp.asarray(rng.rand(2, n, 3).astype(np.float32))
+    x2 = jnp.asarray(rng.rand(2, m, 3).astype(np.float32))
+
+    def composed(a, b):
+        return jnp.sum(match_cost(a, b, approx_match(a, b)))
+
+    def fused(a, b):
+        return jnp.sum(approx_match_cost_diff(a, b))
+
+    np.testing.assert_allclose(
+        float(fused(x1, x2)), float(composed(x1, x2)), rtol=1e-5
+    )
+    gc1, gc2 = jax.grad(composed, argnums=(0, 1))(x1, x2)
+    gf1, gf2 = jax.grad(fused, argnums=(0, 1))(x1, x2)
+    np.testing.assert_allclose(np.asarray(gf1), np.asarray(gc1), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf2), np.asarray(gc2), rtol=1e-4, atol=1e-6)
+
+
 def test_earth_mover_zero_for_identical(rng):
     x = rng.rand(1, 32, 3).astype(np.float32)
     match = approx_match(x, x)

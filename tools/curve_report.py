@@ -18,10 +18,14 @@ def main(argv=None):
     metrics_path = argv[0] if argv else "logs/metrics.jsonl"
     log_path = argv[1] if len(argv) > 1 else None
 
-    rows = []
+    rows, eval_rows = [], {}
     with open(metrics_path) as f:
         for line in f:
-            rows.append(json.loads(line))
+            r = json.loads(line)
+            if "eval_cd" in r:  # eval-curve rows live in the same jsonl
+                eval_rows[r["step"]] = (r["eval_cd"], r["eval_emd"])
+            else:
+                rows.append(r)
     print(f"{'step':>6} {'total':>9} {'cd3+cd4':>9} {'emd64':>8} {'emd1024':>8} "
           f"{'recd':>8} {'move':>8} {'zgn1':>8} {'zgn2':>8} {'decfac':>8}")
     for r in rows:
@@ -30,15 +34,16 @@ def main(argv=None):
               f"{r['moveloss']:>8.4f} {r['loss_d1']:>8.5f} {r['loss_d2']:>8.5f} "
               f"{r['loss_dec']:>8.4f}")
 
+    seen = dict(eval_rows)
     if log_path:
-        print("\nheld-out eval curve:")
         pat = re.compile(r"eval @ (\d+): mean cd ([\d.]+) mean emd ([\d.]+)")
-        seen = {}
         with open(log_path) as f:
             for line in f:
                 m = pat.search(line)
                 if m:
                     seen[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    if seen:
+        print("\nheld-out eval curve:")
         for step in sorted(seen):
             cd, emd = seen[step]
             print(f"  step {step:>6}: eval cd {cd:.6f}  emd {emd:.6f}")
