@@ -1,0 +1,71 @@
+"""Long-horizon training-stability regression pins (VERDICT r2 #1).
+
+Round 3 ran two 30k-step on-chip experiments whose measured curves are
+committed as run_r3*/curves.json (regenerate with
+`python tools/curve_report.py <metrics.jsonl> <train.log> --json <out>`):
+
+  * run_r3 — finite 4,096-sample synthetic set, held-out seed-1234 eval,
+    reference schedule compressed 10x (LR boundaries 5k/10k/15k/20k).
+  * run_r3_online — identical except the training data is an infinite
+    on-device stream (data/online.py): no finite set to memorize, so the
+    held-out curve isolates optimizer/loss stability from generalization.
+
+These tests pin the curves' qualitative shape with tolerance bands so a
+future dynamics regression (like round 2's unexplained 0.0159 -> 0.0306
+eval-CD doubling, PARITY.md) cannot land silently behind a re-run: anyone
+replacing the artifacts with a new run's curves must still satisfy the
+stability criteria.
+"""
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(rel):
+    with open(os.path.join(ROOT, rel)) as f:
+        return json.load(f)
+
+
+def _window_mean(rows, sl):
+    vals = [r["cd"] for r in rows[sl]]
+    return sum(vals) / len(vals)
+
+
+def test_finite_run_is_overfit_not_instability():
+    """The finite-set run's held-out CD is flat through the high-LR phase
+    and drifts only boundedly afterwards, while the training CD keeps
+    falling — the generalization-gap signature, not optimizer divergence."""
+    c = _load("run_r3/curves.json")
+    evals = c["eval"]
+    assert len(evals) >= 10, "expected the full 2500-step eval cadence"
+    # high-LR phase (steps <= 10000): flat band around the 0.026 plateau
+    early = [r["cd"] for r in evals if r["step"] <= 10000]
+    assert early and max(early) <= 0.0270
+    # post-boundary drift stays bounded (round 2's doubling would fail this)
+    assert evals[-1]["cd"] <= 0.0320
+    assert evals[-1]["cd"] <= 1.25 * min(r["cd"] for r in evals)
+    # training objective genuinely improves across the run
+    tr = c["train_cd"]
+    assert len(tr) >= 20
+    assert _window_mean(tr, slice(-5, None)) <= 0.80 * _window_mean(tr, slice(5))
+
+
+def test_online_stream_run_converges_to_plateau():
+    """With no finite set to memorize, the held-out curve must be
+    monotone-to-plateau: net improvement, best value beating the finite
+    run's plateau, and no terminal divergence."""
+    c = _load("run_r3_online/curves.json")
+    evals = c["eval"]
+    assert len(evals) >= 5
+    cds = [r["cd"] for r in evals]
+    assert min(cds) <= 0.0260, "should improve past the finite run's plateau"
+    assert cds[-1] <= 1.08 * min(cds), "terminal divergence"
+    assert cds[-1] <= cds[0], "no net improvement over the run"
+    # train-batch CD on an infinite stream IS a generalization metric
+    # (every batch is unseen), so unlike the finite run it cannot fall by
+    # memorization — pin net improvement, not a deep drop
+    tr = c["train_cd"]
+    assert len(tr) >= 20
+    assert _window_mean(tr, slice(-5, None)) <= 0.95 * _window_mean(tr, slice(5))

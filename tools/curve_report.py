@@ -6,6 +6,10 @@ the evidence artifact for the long-horizon stability requirement (the
 round-2 run's eval regression had no such trail).
 
     python tools/curve_report.py run_r3/logs/metrics.jsonl run_r3/train_r3.log
+
+With `--json OUT` also writes a compact curve artifact (train-cd trajectory
++ held-out eval curve) for the stability regression pin
+(tests/test_stability_curves.py reads the committed run_r3*/curves.json).
 """
 
 import json
@@ -14,7 +18,12 @@ import sys
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
     metrics_path = argv[0] if argv else "logs/metrics.jsonl"
     log_path = argv[1] if len(argv) > 1 else None
 
@@ -47,6 +56,22 @@ def main(argv=None):
         for step in sorted(seen):
             cd, emd = seen[step]
             print(f"  step {step:>6}: eval cd {cd:.6f}  emd {emd:.6f}")
+
+    if json_out:
+        artifact = {
+            "train_cd": [
+                {"step": r["step"], "cd": round(r["cd3"] + r["cd4"], 6)}
+                for r in rows
+            ],
+            "eval": [
+                {"step": s, "cd": round(seen[s][0], 6), "emd": round(seen[s][1], 6)}
+                for s in sorted(seen)
+            ],
+        }
+        with open(json_out, "w") as f:
+            json.dump(artifact, f, indent=1)
+            f.write("\n")
+        print(f"\nwrote {json_out}", file=sys.stderr)
     return 0
 
 
