@@ -57,13 +57,15 @@ def make_complete_fn(state):
     @jax.jit
     def metrics(partial, output, gt):
         # per-sample forms of chamfer_big / fidelity_loss (identical to the
-        # reference values, which are computed at batch 1)
-        from rfnet_tpu.ops.chamfer import nn_distance
+        # reference values, which are computed at batch 1); on TPU both run
+        # in sorted space through the early-exit kernel — per-sample means
+        # are permutation invariant, and the fidelity form skips the unused
+        # reverse scan nn_distance would compute (ops/chamfer.py)
+        from rfnet_tpu.ops.chamfer import chamfer_sample_means, nn_sample_mean_one
 
-        d1, _, d2, _ = nn_distance(output, gt)
-        cd = (jnp.mean(jnp.sqrt(d1), axis=1) + jnp.mean(jnp.sqrt(d2), axis=1)) / 2
-        f1, _, _, _ = nn_distance(partial, output)
-        emd = jnp.mean(jnp.sqrt(f1), axis=1)
+        m1, m2 = chamfer_sample_means(output, gt)
+        cd = (m1 + m2) / 2
+        emd = nn_sample_mean_one(partial, output)
         return cd, emd
 
     return complete, metrics

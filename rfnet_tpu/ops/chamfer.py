@@ -215,13 +215,35 @@ def _unsort_rows(order, rows):
     return jnp.take_along_axis(rows, inv[..., None], axis=1, mode="promise_in_bounds")
 
 
-def _chamfer_means_fwd_impl(pcd1, pcd2):
+# Which sorted-space kernel the loss path uses: "tile" = Morton sort + 3D
+# best-first AABB pruning (ops/pallas/chamfer_tile.py), "dyn" = z sort + 1D
+# slab walk (ops/pallas/chamfer_dyn.py). Both are exact; they differ only in
+# how much scan the early exit skips (the tile kernel is data-robust — see
+# tools/bench_chamfer_tile.py measurements in CLAUDE.md). The backward is
+# key-agnostic: it only consumes sorted clouds + order arrays.
+_NN_SORTED_BACKEND = "tile"
+
+
+def _sorted_nn_fns():
+    if _NN_SORTED_BACKEND == "tile":
+        from rfnet_tpu.ops.pallas.chamfer_tile import (
+            nn_tile_pallas,
+            sort_by_morton_with_order,
+        )
+
+        return sort_by_morton_with_order, nn_tile_pallas
     from rfnet_tpu.ops.pallas.chamfer_dyn import nn_dyn_pallas
 
-    x1s, o1 = sort_by_z_with_order(pcd1)
-    x2s, o2 = sort_by_z_with_order(pcd2)
-    d1, i1 = nn_dyn_pallas(x1s, x2s)
-    d2, i2 = nn_dyn_pallas(x2s, x1s)
+    return sort_by_z_with_order, nn_dyn_pallas
+
+
+def _chamfer_means_fwd_impl(pcd1, pcd2):
+    sort_fn, nn_fn = _sorted_nn_fns()
+
+    x1s, o1 = sort_fn(pcd1)
+    x2s, o2 = sort_fn(pcd2)
+    d1, i1 = nn_fn(x1s, x2s)
+    d2, i2 = nn_fn(x2s, x1s)
     # _safe_sqrt forward semantics (losses._safe_sqrt): plain sqrt
     m1 = jnp.mean(jnp.sqrt(d1))
     m2 = jnp.mean(jnp.sqrt(d2))
@@ -232,15 +254,15 @@ def _chamfer_means_fwd_impl(pcd1, pcd2):
 def _chamfer_means_dyn(pcd1: jax.Array, pcd2: jax.Array):
     """(mean √NN-dist pcd1→pcd2, mean √ pcd2→pcd1) via the early-exit kernel.
 
-    The whole computation stays in z-sorted space — means are permutation
-    invariant, so the forward needs NO unsort at all (the dominant cost of
-    the naive wrapper: ~18 ms of gathers per 16384² call). The backward
-    applies the reference gradient formula (`tf_nndistance.cpp:130-163`)
-    composed with d(mean√)/d(dist) = 1/(2N·max(√d,1e-7)) (the safe-sqrt
-    guard of losses._safe_sqrt) in sorted space, then unsorts only the two
-    final gradient tensors with one scatter each. Ties may route gradient to
-    a different equally-near point than the dense scan (sort reorders exact
-    duplicates); distances are bit-equal.
+    The whole computation stays in sorted space (Morton or z, per
+    ``_NN_SORTED_BACKEND``) — means are permutation invariant, so the forward
+    needs NO unsort at all (the dominant cost of the naive wrapper: ~18 ms of
+    gathers per 16384² call). The backward applies the reference gradient
+    formula (`tf_nndistance.cpp:130-163`) composed with d(mean√)/d(dist) =
+    1/(2N·max(√d,1e-7)) (the safe-sqrt guard of losses._safe_sqrt) in sorted
+    space, then unsorts only the two final gradient tensors with one scatter
+    each. Ties may route gradient to a different equally-near point than the
+    dense scan (sort reorders exact duplicates); distances are bit-equal.
     """
     out, _ = _chamfer_means_fwd_impl(pcd1, pcd2)
     return out
@@ -286,14 +308,14 @@ _chamfer_means_dyn.defvjp(_chamfer_means_fwd, _chamfer_means_bwd)
 
 
 def _chamfer_means_pair_fwd_impl(gt, out_a, out_b):
-    from rfnet_tpu.ops.pallas.chamfer_dyn import nn_dyn_pallas
+    sort_fn, nn_fn = _sorted_nn_fns()
 
     b = gt.shape[0]
-    gts, og = sort_by_z_with_order(gt)  # ONE gt sort shared by both terms
-    outs, oo = sort_by_z_with_order(jnp.concatenate([out_a, out_b], axis=0))
+    gts, og = sort_fn(gt)  # ONE gt sort shared by both terms
+    outs, oo = sort_fn(jnp.concatenate([out_a, out_b], axis=0))
     gt2 = jnp.concatenate([gts, gts], axis=0)  # (2b, n, 3)
-    d1, i1 = nn_dyn_pallas(gt2, outs)  # gt→out, both terms in one launch
-    d2, i2 = nn_dyn_pallas(outs, gt2)  # out→gt
+    d1, i1 = nn_fn(gt2, outs)  # gt→out, both terms in one launch
+    d2, i2 = nn_fn(outs, gt2)  # out→gt
     r1 = jnp.sqrt(d1)
     r2 = jnp.sqrt(d2)
     means = (
@@ -309,10 +331,10 @@ def _chamfer_means_pair_dyn(gt: jax.Array, out_a: jax.Array, out_b: jax.Array):
 
     The train loss evaluates cd3 = chamfer_big(gt, out3) and
     cd4 = chamfer_big(gt, out4) against the SAME ground-truth cloud
-    (`vv_recon.py:491-492`); calling :func:`_chamfer_means_dyn` twice z-sorts
+    (`vv_recon.py:491-492`); calling :func:`_chamfer_means_dyn` twice sorts
     gt twice (~7 ms each at (32,16384) — pure overhead) and launches four
     kernels. Here gt is sorted once and out3/out4 are stacked on the batch
-    axis, so each direction is ONE dyn-kernel launch at batch 2b and the
+    axis, so each direction is ONE kernel launch at batch 2b and the
     backward runs one banded contraction + one unsort per cloud set.
     Arithmetic is identical (means are taken per half; every half has equal
     element count), so values match the unfused path bit-for-bit up to the
@@ -406,6 +428,69 @@ def nearest_neighbor_dyn(query: jax.Array, target: jax.Array):
     qs, q_ord = _zsort(query)
     ts, t_ord = _zsort(target)
     d_s, i_s = nn_dyn_pallas(qs, ts)
+    return _unsort_results(d_s, i_s, q_ord, t_ord)
+
+
+def chamfer_sample_means(
+    pcd1: jax.Array, pcd2: jax.Array, force_sorted: bool = False
+):
+    """Per-sample mean √NN distance, both directions: ((b,), (b,)).
+
+    The eval metric form (`recon_test.py` computes chamfer_big per model at
+    batch 1; rfnet_tpu/eval.py batches it). Per-sample means are permutation
+    invariant, so on TPU the whole computation runs in sorted space with NO
+    unsort — two early-exit scans replace the four one-sided dense scans of
+    the nn_distance-based formulation. Gradient-free (metric only)."""
+    n, m = pcd1.shape[1], pcd2.shape[1]
+    if force_sorted or (jax.default_backend() == "tpu" and _use_dyn(n, m)):
+        sort_fn, nn_fn = _sorted_nn_fns()
+        x1s, _ = sort_fn(lax.stop_gradient(pcd1))
+        x2s, _ = sort_fn(lax.stop_gradient(pcd2))
+        d1, _ = nn_fn(x1s, x2s)
+        d2, _ = nn_fn(x2s, x1s)
+    else:
+        d1, _, d2, _ = nn_distance(pcd1, pcd2)
+    return jnp.mean(jnp.sqrt(d1), axis=1), jnp.mean(jnp.sqrt(d2), axis=1)
+
+
+def nn_sample_mean_one(
+    query: jax.Array, target: jax.Array, force_sorted: bool = False
+):
+    """Per-sample mean √ ONE-SIDED NN distance: (b,).
+
+    The fidelity metric (`recon_test.py`'s emd column is the partial→output
+    direction only); the nn_distance-based form computes and discards the
+    whole reverse scan. Gradient-free."""
+    n, m = query.shape[1], target.shape[1]
+    if force_sorted or (jax.default_backend() == "tpu" and _use_dyn(n, m)):
+        sort_fn, nn_fn = _sorted_nn_fns()
+        qs, _ = sort_fn(lax.stop_gradient(query))
+        ts, _ = sort_fn(lax.stop_gradient(target))
+        d1, _ = nn_fn(qs, ts)
+    else:
+        d1, _ = nearest_neighbor(query, target)
+    return jnp.mean(jnp.sqrt(d1), axis=1)
+
+
+def nearest_neighbor_tile(query: jax.Array, target: jax.Array):
+    """One-sided NN via the 3D best-first AABB-tile kernel (sorts included).
+
+    Exact — bit-equal distances to :func:`nearest_neighbor` with identical
+    lowest-index tie resolution in Morton-sorted space (see
+    ops/pallas/chamfer_tile.py). Unlike the z-slab kernel the pruning bound
+    is three-dimensional, so the scan cost stays near the random-cloud floor
+    even when the query cloud is a compact blob inside the target's z-range
+    (the early-training regime that costs the z-slab kernel ~2×)."""
+    query = lax.stop_gradient(query)
+    target = lax.stop_gradient(target)
+    from rfnet_tpu.ops.pallas.chamfer_tile import (
+        nn_tile_pallas,
+        sort_by_morton_with_order,
+    )
+
+    qs, q_ord = sort_by_morton_with_order(query)
+    ts, t_ord = sort_by_morton_with_order(target)
+    d_s, i_s = nn_tile_pallas(qs, ts)
     return _unsort_results(d_s, i_s, q_ord, t_ord)
 
 

@@ -149,13 +149,18 @@ def test_dyn_tie_resolution_lowest_index(rng):
     np.testing.assert_array_equal(np.asarray(i), bd.argmin(-1).astype(np.int32))
 
 
-def test_chamfer_means_dyn_value_and_grad(rng):
+@pytest.mark.parametrize("backend", ["tile", "dyn"])
+def test_chamfer_means_dyn_value_and_grad(rng, backend, monkeypatch):
     """Sorted-space chamfer (the train loss fast path) must match the dense
-    nn_distance-based value AND gradient (interpret mode on CPU)."""
+    nn_distance-based value AND gradient (interpret mode on CPU) under BOTH
+    sorted backends (Morton 3D tile and z slab)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from rfnet_tpu.losses import _safe_sqrt
+    from rfnet_tpu.ops import chamfer as chamfer_mod
     from rfnet_tpu.ops.chamfer import _chamfer_means_dyn
+
+    monkeypatch.setattr(chamfer_mod, "_NN_SORTED_BACKEND", backend)
 
     a = jnp.asarray(rng.rand(2, 96, 3).astype(np.float32))
     b = jnp.asarray(rng.rand(2, 130, 3).astype(np.float32))
@@ -176,13 +181,18 @@ def test_chamfer_means_dyn_value_and_grad(rng):
     np.testing.assert_allclose(np.asarray(gb_dyn), np.asarray(gb_ref), rtol=1e-3, atol=1e-6)
 
 
-def test_chamfer_means_pair_value_and_grad(rng):
+@pytest.mark.parametrize("backend", ["tile", "dyn"])
+def test_chamfer_means_pair_value_and_grad(rng, backend, monkeypatch):
     """Fused cd3/cd4 path (one gt sort, batch-stacked outs) must match two
-    independent dense chamfer means in value AND gradient (interpret mode)."""
+    independent dense chamfer means in value AND gradient (interpret mode),
+    under BOTH sorted backends."""
     from jax.experimental.pallas import tpu as pltpu
 
     from rfnet_tpu.losses import _safe_sqrt
+    from rfnet_tpu.ops import chamfer as chamfer_mod
     from rfnet_tpu.ops.chamfer import _chamfer_means_pair_dyn
+
+    monkeypatch.setattr(chamfer_mod, "_NN_SORTED_BACKEND", backend)
 
     gt = jnp.asarray(rng.rand(2, 96, 3).astype(np.float32))
     oa = jnp.asarray(rng.rand(2, 130, 3).astype(np.float32))
@@ -323,3 +333,106 @@ def test_nearest_neighbor_coords_fallback(rng):
     np.testing.assert_allclose(np.asarray(d), np.asarray(d2), rtol=1e-6)
     expect = jnp.take_along_axis(t, i2[..., None], axis=1)
     np.testing.assert_allclose(np.asarray(nn), np.asarray(expect), rtol=1e-6)
+
+
+def test_tile_kernel_interpret_matches_bruteforce(rng):
+    """3D best-first AABB-tile NN scan: exact distances AND exact ties
+    (interpret mode on CPU; on-chip timing in tools/bench_chamfer_tile.py).
+    Includes the blob-inside-cloud case the z-slab kernel degrades on."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rfnet_tpu.ops.chamfer import nearest_neighbor_tile
+
+    cases = []
+    # structured blobs, ragged sizes
+    centers = rng.randn(6, 3).astype(np.float32)
+    for n, m in [(70, 150), (300, 520)]:
+        q = (centers[rng.randint(0, 6, n)] + 0.1 * rng.randn(n, 3)).astype(np.float32)[None]
+        t = (centers[rng.randint(0, 6, m)] + 0.1 * rng.randn(m, 3)).astype(np.float32)[None]
+        cases.append((q, t))
+    # compact blob query centred inside a spread target (early-training regime)
+    q = (0.05 * rng.randn(90, 3)).astype(np.float32)[None]
+    t = (rng.rand(300, 3) * 2.0 - 1.0).astype(np.float32)[None]
+    cases.append((q, t))
+    # exact duplicated targets force distance ties
+    t = rng.rand(1, 64, 3).astype(np.float32)
+    t_dup = np.concatenate([t, t[:, ::-1], t], axis=1)
+    cases.append((rng.rand(1, 40, 3).astype(np.float32), t_dup))
+    # all points identical: degenerate Morton normalization (hi == lo)
+    qd = np.full((1, 50, 3), 0.25, np.float32)
+    td = np.full((1, 70, 3), 0.75, np.float32)
+    cases.append((qd, td))
+    # all-z-equal plane: pruning still works via x/y bounds
+    qf = rng.rand(1, 100, 3).astype(np.float32)
+    tf = rng.rand(1, 130, 3).astype(np.float32)
+    qf[..., 2] = 0.5
+    tf[..., 2] = 0.5
+    cases.append((qf, tf))
+
+    for q, t in cases:
+        with pltpu.force_tpu_interpret_mode():
+            d, i = nearest_neighbor_tile(jnp.asarray(q), jnp.asarray(t))
+        bd = np.sum((q[:, :, None] - t[:, None]) ** 2, -1)
+        np.testing.assert_allclose(np.asarray(d), bd.min(-1), rtol=1e-3, atol=1e-5)
+        picked = np.take_along_axis(bd, np.asarray(i)[..., None], 2)[..., 0]
+        np.testing.assert_allclose(picked, bd.min(-1), rtol=1e-3, atol=1e-5)
+
+
+def test_tile_tie_resolution_lowest_index(rng):
+    """With exactly duplicated target points, idx must equal the brute-force
+    argmin in Morton-sorted space (lowest sorted index wins)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rfnet_tpu.ops.pallas.chamfer_tile import (
+        nn_tile_pallas,
+        sort_by_morton_with_order,
+    )
+
+    t_base = rng.rand(1, 80, 3).astype(np.float32)
+    t = np.concatenate([t_base, t_base], axis=1)  # duplicate block
+    q = rng.rand(1, 50, 3).astype(np.float32)
+    # the kernel contract takes MORTON-sorted inputs; compare in sorted space
+    qs, _ = sort_by_morton_with_order(jnp.asarray(q))
+    ts, _ = sort_by_morton_with_order(jnp.asarray(t))
+    qs, ts = np.asarray(qs), np.asarray(ts)
+    with pltpu.force_tpu_interpret_mode():
+        d, i = nn_tile_pallas(jnp.asarray(qs), jnp.asarray(ts))
+    bd = np.sum((qs[:, :, None] - ts[:, None]) ** 2, -1)
+    np.testing.assert_array_equal(np.asarray(i), bd.argmin(-1).astype(np.int32))
+
+
+def test_morton_sort_is_permutation(rng):
+    """sort_by_morton_with_order returns (sorted cloud, order) with
+    sorted[k] == x[order[k]] and order a permutation."""
+    from rfnet_tpu.ops.pallas.chamfer_tile import sort_by_morton_with_order
+
+    x = rng.randn(3, 97, 3).astype(np.float32)
+    xs, order = sort_by_morton_with_order(jnp.asarray(x))
+    xs, order = np.asarray(xs), np.asarray(order)
+    for bi in range(3):
+        assert sorted(order[bi].tolist()) == list(range(97))
+        np.testing.assert_array_equal(xs[bi], x[bi][order[bi]])
+
+
+def test_sample_means_sorted_match_dense(rng):
+    """Eval-metric helpers: sorted-space per-sample means (the TPU path) must
+    equal the dense nn_distance formulation (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rfnet_tpu.ops.chamfer import (
+        chamfer_sample_means,
+        nn_distance,
+        nn_sample_mean_one,
+    )
+
+    out = jnp.asarray(rng.rand(3, 140, 3).astype(np.float32))
+    gt = jnp.asarray(rng.rand(3, 96, 3).astype(np.float32))
+    par = jnp.asarray(rng.rand(3, 50, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        m1, m2 = chamfer_sample_means(out, gt, force_sorted=True)
+        f1 = nn_sample_mean_one(par, out, force_sorted=True)
+    d1, _, d2, _ = nn_distance(out, gt)
+    np.testing.assert_allclose(np.asarray(m1), np.mean(np.sqrt(d1), 1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m2), np.mean(np.sqrt(d2), 1), rtol=1e-5)
+    e1, _, _, _ = nn_distance(par, out)
+    np.testing.assert_allclose(np.asarray(f1), np.mean(np.sqrt(e1), 1), rtol=1e-5)
