@@ -147,6 +147,20 @@ def _component_breakdown(state, config):
         ),
         gt, out3, out4,
     )
+    # same measurement on REAL model outputs: early-exit kernel cost is
+    # data-dependent (random clouds understated the z-slab kernel by ~2×,
+    # CLAUDE.md round-3 attribution) — this entry pins the in-training regime
+    o34 = jax.jit(lambda p, x: (lambda o: (o.out3, o.out4))(state.apply_fn(p, x)))(
+        state.params, partial
+    )
+    res["cd34_fb_real_b32_ms"] = timed(
+        jax.jit(
+            lambda g, a, c: jax.grad(
+                lambda aa, cc: sum(chamfer_means_pair(g, aa, cc)), argnums=(0, 1)
+            )(a, c)
+        ),
+        gt, jax.lax.stop_gradient(o34[0]), jax.lax.stop_gradient(o34[1]),
+    )
     res["emd_fb_b32_ms"] = timed(
         jax.jit(
             lambda g1, g2, a, c: jax.grad(
