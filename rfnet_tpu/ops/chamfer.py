@@ -218,10 +218,13 @@ def _unsort_rows(order, rows):
 # Which sorted-space kernel the loss path uses: "tile" = Morton sort + 3D
 # best-first AABB pruning (ops/pallas/chamfer_tile.py), "dyn" = z sort + 1D
 # slab walk (ops/pallas/chamfer_dyn.py). Both are exact; they differ only in
-# how much scan the early exit skips (the tile kernel is data-robust — see
-# tools/bench_chamfer_tile.py measurements in CLAUDE.md). The backward is
-# key-agnostic: it only consumes sorted clouds + order arrays.
-_NN_SORTED_BACKEND = "tile"
+# how much scan the early exit skips. Default "dyn": the CPU prune simulation
+# (tools/sim_prune_stats.py) shows the 512-pt Morton cells bound WORSE than
+# thin z slabs on uniform clouds (16.7 vs 4.7 of 32 tiles scanned) and the
+# Morton-order argmin intervals cost the banded backward ~4× the visits —
+# flip to "tile" only if the on-chip A/B (tools/bench_chamfer_backend.py)
+# proves otherwise. The backward is key-agnostic either way.
+_NN_SORTED_BACKEND = "dyn"
 
 
 def _sorted_nn_fns():
