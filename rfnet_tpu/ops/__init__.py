@@ -36,10 +36,13 @@ hand-written grad kernel, and from plain autodiff where gather transposes
 """
 
 from rfnet_tpu.ops.chamfer import (
+    chamfer_sample_means,
     nearest_neighbor,
     nearest_neighbor_coords,
     nearest_neighbor_pruned,
+    nearest_neighbor_tile,
     nn_distance,
+    nn_sample_mean_one,
 )
 from rfnet_tpu.ops.fps import farthest_point_sample, gather_point, sampling
 from rfnet_tpu.ops.grouping import group_point, knn_point, query_ball_point
@@ -57,6 +60,9 @@ __all__ = [
     "nearest_neighbor",
     "nearest_neighbor_coords",
     "nearest_neighbor_pruned",
+    "nearest_neighbor_tile",
+    "chamfer_sample_means",
+    "nn_sample_mean_one",
     "farthest_point_sample",
     "gather_point",
     "sampling",
