@@ -219,3 +219,42 @@ def test_preload_device_batches_match_host_path():
         np.testing.assert_array_equal(
             np.asarray(jnp.take(gts_dev, jnp.asarray(idx), axis=0)), host_gts
         )
+
+
+def test_precomputed_pyramids_step_bitexact(rng):
+    """train_step_pyr with set-precomputed FPS pyramids must produce the
+    EXACT same update as the on-step train_step (FPS is a deterministic
+    per-row function of gt, independent of batch grouping)."""
+    import functools
+
+    from rfnet_tpu.train import (
+        _precompute_pyramids,
+        train_step,
+        train_step_pyr,
+    )
+
+    config = TrainConfig(batch_size=4, innum=64, ptnum=128, n_seed=4, up_ratio=4)
+    state = create_state(config)
+    n1 = 2 * config.n_seed
+    n2 = n1 * config.up_ratio
+    gts = jnp.asarray(rng.rand(8, config.ptnum, 3).astype(np.float32))
+    parts = gts[:, : config.innum]
+    # pyramids over the whole "resident set" in a different chunking than the
+    # batch, then gather the batch rows — mirrors the preload-mode flow
+    g1, g2 = _precompute_pyramids(gts, n1, n2, chunk=3)
+    idx = jnp.asarray([5, 1, 6, 2])
+    take = lambda a: jnp.take(a, idx, axis=0)
+    s_ref, lb_ref, _ = jax.jit(
+        functools.partial(train_step, n1=n1, n2=n2)
+    )(state, take(parts), take(gts))
+    s_pyr, lb_pyr, _ = jax.jit(train_step_pyr)(
+        state, take(parts), take(gts), take(g1), take(g2)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lb_ref.total), np.asarray(lb_pyr.total)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref.params),
+        jax.tree_util.tree_leaves(s_pyr.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
