@@ -293,16 +293,34 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
 
     if synthetic_online:
         # infinite on-device data (data/online.py): no host->device bytes,
-        # no finite set to overfit — the training-stability capability proof
+        # no finite set to overfit — the training-stability capability proof.
+        # Generation is FUSED into the train-step program (the key fold and
+        # blob synthesis trace into the same XLA computation), so each step
+        # is ONE dispatch — on the relay every dispatch blocks the host
+        # ~4 ms, and the separate generator dispatch measured at that cost.
+        # The stream is a pure function of (seed, step): bit-identical to
+        # data/online.batch_stream and stable across resumes.
         if mesh is not None:
             raise ValueError("--synthetic_online is single-process/non-mesh for now")
-        from rfnet_tpu.data.online import batch_stream
+        from rfnet_tpu.data.online import synthetic_batch
 
-        stream = batch_stream(
-            jax.random.PRNGKey(config.seed), start, config.batch_size,
-            config.innum, config.ptnum,
-        )
-        fetch = lambda: next(stream)  # noqa: E731
+        base_key = jax.random.PRNGKey(config.seed)
+        n1 = 2 * config.n_seed
+        n2 = n1 * config.up_ratio
+
+        def online_step(state, step_idx):
+            partial, gt = synthetic_batch(
+                jax.random.fold_in(base_key, step_idx),
+                config.batch_size, config.innum, config.ptnum,
+            )
+            return train_step(
+                state, partial, gt, n1=n1, n2=n2,
+                schedule_scale=config.schedule_scale,
+            )
+
+        jstep = jax.jit(online_step, donate_argnums=0)
+        _next_step = iter(range(start, config.iters + 1))
+        fetch = lambda: (jnp.asarray(next(_next_step), jnp.uint32),)  # noqa: E731
         staged = fetch()
         stage_stop = None
     elif preload_device:

@@ -78,3 +78,26 @@ def test_train_cli_synthetic_online(tmp_path, monkeypatch):
         "--steps", "4", "--ckpt_every", "2", "--workdir", workdir,
     ])
     assert os.path.isdir(os.path.join(tmp_path, "bestrecord"))
+
+
+def test_fused_step_generation_matches_stream():
+    """The train loop fuses synthetic_batch into the step program keyed by a
+    TRACED uint32 step index; batches must be bit-identical to the host-side
+    batch_stream (a pure function of (seed, step) — resume safety depends
+    on it)."""
+    import jax
+
+    from rfnet_tpu.data.online import batch_stream, synthetic_batch
+
+    key = jax.random.PRNGKey(7)
+    stream = batch_stream(key, 5, 2, 16, 64)
+
+    @jax.jit
+    def fused(step_idx):
+        return synthetic_batch(jax.random.fold_in(key, step_idx), 2, 16, 64)
+
+    for step in (5, 6, 7):
+        p_s, g_s = next(stream)
+        p_f, g_f = fused(jnp.asarray(step, jnp.uint32))
+        np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_f))
+        np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_f))
