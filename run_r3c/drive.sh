@@ -5,12 +5,14 @@
 # horizon: extends the monotone-to-plateau evidence past the 30k curve in
 # PARITY.md and leaves a better-converged checkpoint for bench weights.
 # Waits for the bench queue (chipq_probe.log "queue done") before touching
-# the chip (one TPU process at a time). Segmented with auto-restore so relay
-# drops only cost the segment.
+# the chip (one TPU process at a time), grabs the forward stage profile
+# first, then trains. Segmented with auto-restore so relay drops only cost
+# the segment.
 cd /root/repo/run_r3c
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 while ! grep -q "queue done" /tmp/chipq_probe.log 2>/dev/null; do sleep 60; done
 sleep 15
+timeout 2400 python /root/repo/tools/profile_forward.py > /tmp/chipq_fwd.log 2>&1
 for target in $(seq 10000 10000 100000); do
   echo "=== online segment -> $target start $(date -u +%H:%M:%S) ===" >> train_online.log
   timeout 7200 python -m rfnet_tpu.train --synthetic_online \
