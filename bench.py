@@ -49,9 +49,47 @@ def _load_trained(state):
     return state
 
 
+def _backend_reachable(timeout_s: int = 300) -> bool:
+    """Bounded reachability check in a SUBPROCESS: the axon relay has been
+    observed hanging ~30 min inside backend init before failing UNAVAILABLE
+    (2026-08-17 outage) — an in-process attempt can't be timed out."""
+    import subprocess
+
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "probe_chip.py")
+    try:
+        r = subprocess.run(
+            [sys.executable, probe], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
     from rfnet_tpu.models import RFNet
     from rfnet_tpu.train import TrainConfig, create_state
+
+    if not _backend_reachable():
+        # emit the one JSON line the driver expects, honestly marked: the
+        # TPU relay is unreachable, not the framework slow
+        print(
+            json.dumps(
+                {
+                    "metric": "completion_throughput_16384pts",
+                    "value": 0.0,
+                    "unit": "clouds/sec/chip",
+                    "vs_baseline": 0.0,
+                    "breakdown": {
+                        "error": "axon TPU backend unreachable (relay outage) — "
+                        "see tools/probe_chip.py; prior measured value in "
+                        "BENCH_r02.json: 1770 clouds/s/chip"
+                    },
+                }
+            )
+        )
+        return
 
     config = TrainConfig()
     state = create_state(config, RFNet())
