@@ -49,10 +49,15 @@ def _load_trained(state):
     return state
 
 
-def _backend_reachable(timeout_s: int = 300) -> bool:
+def _backend_reachable(timeout_s: int = 600) -> tuple[bool, str]:
     """Bounded reachability check in a SUBPROCESS: the axon relay has been
     observed hanging ~30 min inside backend init before failing UNAVAILABLE
-    (2026-08-17 outage) — an in-process attempt can't be timed out."""
+    (2026-08-17 outage) — an in-process attempt can't be timed out.
+
+    Returns (ok, reason). The 10-minute bound leaves room for a cold compile
+    of the probe's trivial program (first relay compiles run minutes); the
+    reason string distinguishes a genuine DOWN from a timeout or a probe
+    harness failure so the emitted JSON never misattributes."""
     import subprocess
 
     probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -62,16 +67,21 @@ def _backend_reachable(timeout_s: int = 300) -> bool:
             [sys.executable, probe], timeout=timeout_s,
             capture_output=True, text=True,
         )
-        return r.returncode == 0
-    except Exception:
-        return False
+        if r.returncode == 0:
+            return True, "up"
+        return False, (r.stdout + r.stderr).strip()[-300:]
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s}s (backend init hang)"
+    except Exception as e:  # pragma: no cover - probe harness failure
+        return False, f"probe harness error: {e!r}"
 
 
 def main():
     from rfnet_tpu.models import RFNet
     from rfnet_tpu.train import TrainConfig, create_state
 
-    if not _backend_reachable():
+    ok, reason = _backend_reachable()
+    if not ok:
         # emit the one JSON line the driver expects, honestly marked: the
         # TPU relay is unreachable, not the framework slow
         print(
@@ -82,7 +92,7 @@ def main():
                     "unit": "clouds/sec/chip",
                     "vs_baseline": 0.0,
                     "breakdown": {
-                        "error": "axon TPU backend unreachable (relay outage) — "
+                        "error": f"axon TPU backend unreachable: {reason} — "
                         "see tools/probe_chip.py; prior measured value in "
                         "BENCH_r02.json: 1770 clouds/s/chip"
                     },

@@ -424,14 +424,9 @@ def nearest_neighbor_dyn(query: jax.Array, target: jax.Array):
     Exact — bit-equal distances to :func:`nearest_neighbor` with identical
     lowest-index tie resolution (see ops/pallas/chamfer_dyn.py).
     """
-    query = lax.stop_gradient(query)
-    target = lax.stop_gradient(target)
     from rfnet_tpu.ops.pallas.chamfer_dyn import nn_dyn_pallas
 
-    qs, q_ord = _zsort(query)
-    ts, t_ord = _zsort(target)
-    d_s, i_s = nn_dyn_pallas(qs, ts)
-    return _unsort_results(d_s, i_s, q_ord, t_ord)
+    return _nn_sorted_unsorted(query, target, _zsort, nn_dyn_pallas)
 
 
 def chamfer_sample_means(
@@ -475,26 +470,33 @@ def nn_sample_mean_one(
     return jnp.mean(jnp.sqrt(d1), axis=1)
 
 
+def _nn_sorted_unsorted(query, target, sort_fn, nn_fn):
+    """Shared wrapper: sort both clouds, run a sorted-space NN kernel, map
+    (dist, idx) back to the original orders. Gradient-free by contract."""
+    query = lax.stop_gradient(query)
+    target = lax.stop_gradient(target)
+    qs, q_ord = sort_fn(query)
+    ts, t_ord = sort_fn(target)
+    d_s, i_s = nn_fn(qs, ts)
+    return _unsort_results(d_s, i_s, q_ord, t_ord)
+
+
 def nearest_neighbor_tile(query: jax.Array, target: jax.Array):
     """One-sided NN via the 3D best-first AABB-tile kernel (sorts included).
 
     Exact — bit-equal distances to :func:`nearest_neighbor` with identical
     lowest-index tie resolution in Morton-sorted space (see
-    ops/pallas/chamfer_tile.py). Unlike the z-slab kernel the pruning bound
-    is three-dimensional, so the scan cost stays near the random-cloud floor
-    even when the query cloud is a compact blob inside the target's z-range
-    (the early-training regime that costs the z-slab kernel ~2×)."""
-    query = lax.stop_gradient(query)
-    target = lax.stop_gradient(target)
+    ops/pallas/chamfer_tile.py). Kept as the documented alternative to the
+    z-slab kernel; the prune simulation rejected it as the loss-path default
+    (CLAUDE.md Round-3b)."""
     from rfnet_tpu.ops.pallas.chamfer_tile import (
         nn_tile_pallas,
         sort_by_morton_with_order,
     )
 
-    qs, q_ord = sort_by_morton_with_order(query)
-    ts, t_ord = sort_by_morton_with_order(target)
-    d_s, i_s = nn_tile_pallas(qs, ts)
-    return _unsort_results(d_s, i_s, q_ord, t_ord)
+    return _nn_sorted_unsorted(
+        query, target, sort_by_morton_with_order, nn_tile_pallas
+    )
 
 
 def nearest_neighbor_pruned(query: jax.Array, target: jax.Array):

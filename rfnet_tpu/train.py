@@ -244,9 +244,17 @@ def _precompute_pyramids(gts_dev: jax.Array, n1: int, n2: int, chunk: int = 64):
     g1s, g2s = [], []
     for s in range(0, n, chunk):
         g = gts_dev[s : s + chunk]
+        if g.shape[0] < chunk:
+            # pad the ragged tail to the chunk shape (FPS is per-row; the
+            # pad rows are sliced off below) — a second compiled shape would
+            # cost a new multi-minute relay compile (CLAUDE.md)
+            g = jnp.pad(g, ((0, chunk - g.shape[0]), (0, 0), (0, 0)))
         g1s.append(gather_point(g, farthest_point_sample(n1, g)))
         g2s.append(gather_point(g, farthest_point_sample(n2, g)))
-    return jnp.concatenate(g1s, axis=0), jnp.concatenate(g2s, axis=0)
+    return (
+        jnp.concatenate(g1s, axis=0)[:n],
+        jnp.concatenate(g2s, axis=0)[:n],
+    )
 
 
 def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=False,
@@ -308,9 +316,15 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
         n1 = 2 * config.n_seed
         n2 = n1 * config.up_ratio
 
-        def online_step(state, step_idx):
+        def online_step(state):
+            # key the fold on the DEVICE-RESIDENT state.step (== the loop
+            # index at every iteration, including across resumes): zero
+            # per-step host→device traffic — on the relay even a scalar
+            # device_put blocks the host for a round trip — and no host
+            # iterator to exhaust when a restored checkpoint is already past
+            # --steps (the loop then simply runs zero iterations)
             partial, gt = synthetic_batch(
-                jax.random.fold_in(base_key, step_idx),
+                jax.random.fold_in(base_key, state.step),
                 config.batch_size, config.innum, config.ptnum,
             )
             return train_step(
@@ -319,8 +333,7 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
             )
 
         jstep = jax.jit(online_step, donate_argnums=0)
-        _next_step = iter(range(start, config.iters + 1))
-        fetch = lambda: (jnp.asarray(next(_next_step), jnp.uint32),)  # noqa: E731
+        fetch = tuple  # staged is always the (empty) extra-args tuple
         staged = fetch()
         stage_stop = None
     elif preload_device:

@@ -5,12 +5,23 @@
 # horizon: extends the monotone-to-plateau evidence past the 30k curve in
 # PARITY.md and leaves a better-converged checkpoint for bench weights.
 # Waits for the bench queue (chipq_probe.log "queue done") before touching
-# the chip (one TPU process at a time), grabs the forward stage profile
+# the chip (one TPU process at a time) but logs the wait and proceeds after
+# 6h regardless (the queue marker lives in /tmp — gone on reboot; any bench
+# still holding the chip then is long dead). Grabs the forward stage profile
 # first, then trains. Segmented with auto-restore so relay drops only cost
 # the segment.
 cd /root/repo/run_r3c
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
-while ! grep -q "queue done" /tmp/chipq_probe.log 2>/dev/null; do sleep 60; done
+waited=0
+while ! grep -q "queue done" /tmp/chipq_probe.log 2>/dev/null; do
+  echo "$(date -u) waiting for bench queue (${waited}m)" >> drive_wait.log
+  sleep 60
+  waited=$((waited+1))
+  if [ "$waited" -ge 360 ]; then
+    echo "$(date -u) queue marker never appeared - proceeding" >> drive_wait.log
+    break
+  fi
+done
 sleep 15
 timeout 2400 python /root/repo/tools/profile_forward.py > /tmp/chipq_fwd.log 2>&1
 for target in $(seq 10000 10000 100000); do

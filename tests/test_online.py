@@ -81,10 +81,10 @@ def test_train_cli_synthetic_online(tmp_path, monkeypatch):
 
 
 def test_fused_step_generation_matches_stream():
-    """The train loop fuses synthetic_batch into the step program keyed by a
-    TRACED uint32 step index; batches must be bit-identical to the host-side
-    batch_stream (a pure function of (seed, step) — resume safety depends
-    on it)."""
+    """The train loop fuses synthetic_batch into the step program keyed by
+    the TRACED device-resident state.step (int32); batches must be
+    bit-identical to the host-side batch_stream (a pure function of
+    (seed, step) — resume safety depends on it)."""
     import jax
 
     from rfnet_tpu.data.online import batch_stream, synthetic_batch
@@ -98,6 +98,7 @@ def test_fused_step_generation_matches_stream():
 
     for step in (5, 6, 7):
         p_s, g_s = next(stream)
-        p_f, g_f = fused(jnp.asarray(step, jnp.uint32))
+        # int32 mirrors flax's TrainState.step dtype
+        p_f, g_f = fused(jnp.asarray(step, jnp.int32))
         np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_f))
         np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_f))
