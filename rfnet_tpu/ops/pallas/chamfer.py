@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -83,51 +84,49 @@ def _kernel(x1t_ref, x2_ref, dist_ref, idx_ref, best_e, best_i):
         idx_ref[0] = jnp.broadcast_to(best_i[...], idx_ref.shape[1:])
 
 
-def _coords_kernel(x1t_ref, x2_ref, x2all_ref, dist_ref, nn_ref, best_e, best_i):
-    """Same min/argmin scan as :func:`_kernel`, plus a post-loop recovery of
-    the argmin's COORDINATES: a one-hot equality mask against the whole
-    target cloud contracted on the MXU. This replaces the XLA
-    ``take_along_axis`` gather the merge layer would otherwise run
-    (~6.7 ms at (32,16384,3) vs ~2 extra VPU ops/pair + a K=m matmul here).
-    """
-    mi = pl.program_id(2)
-    mt = pl.num_programs(2)
+def _make_coords_kernel(tile_m: int, mt: int):
+    def kernel(x1t_ref, x2all_ref, dist_ref, nn_ref, best_e, best_i):
+        """Min/argmin scan + a SINGLE post-loop recovery of the argmin's
+        COORDINATES (one-hot equality mask against the whole target cloud,
+        contracted on the MXU) — replacing the XLA ``take_along_axis`` gather
+        the merge layer would otherwise run (~6.7 ms at (32,16384,3)).
 
-    @pl.when(mi == 0)
-    def _init():
+        The target axis is an in-kernel static-bound ``fori_loop`` over the
+        VMEM-resident cloud rather than a grid dimension: ``pl.when``
+        PREDICATES on this Mosaic version, so a grid-step recovery guard paid
+        the (m_pad × TILE_N) compare + K=m_pad matmul on EVERY step — at the
+        merge shape (m_pad 3072, 6 steps) roughly doubling the kernel. The
+        cloud is resident for the recovery anyway, so the loop loses no DMA
+        pipelining; the recovery now runs exactly once per query tile.
+        """
+        x1 = x1t_ref[0]  # (3, TILE_N)
+        x2a = x2all_ref[0]  # (m_pad, 3) — whole padded target cloud
         best_e[...] = jnp.full(best_e.shape, jnp.inf, jnp.float32)
         best_i[...] = jnp.zeros(best_i.shape, jnp.int32)
 
-    x1 = x1t_ref[0]  # (3, TILE_N)
-    x2 = x2_ref[0]  # (TILE_M, 3)
-    s2 = jnp.sum(x2 * x2, axis=1, keepdims=True)
-    cross = (
-        x2[:, 0:1] * x1[0:1, :]
-        + x2[:, 1:2] * x1[1:2, :]
-        + x2[:, 2:3] * x1[2:3, :]
-    )
-    e = s2 - 2.0 * cross
-    lmin = jnp.min(e, axis=0, keepdims=True)
-    larg = jnp.argmin(e, axis=0).astype(jnp.int32)[None, :] + mi * e.shape[0]
-    upd = lmin < best_e[...]  # strict < keeps the first (lowest-index) tie
-    best_i[...] = jnp.where(upd, larg, best_i[...])
-    best_e[...] = jnp.where(upd, lmin, best_e[...])
+        def body(mi, _):
+            x2 = x2all_ref[0, pl.ds(mi * tile_m, tile_m), :]  # (TILE_M, 3)
+            s2 = jnp.sum(x2 * x2, axis=1, keepdims=True)
+            cross = (
+                x2[:, 0:1] * x1[0:1, :]
+                + x2[:, 1:2] * x1[1:2, :]
+                + x2[:, 2:3] * x1[2:3, :]
+            )
+            e = s2 - 2.0 * cross
+            lmin = jnp.min(e, axis=0, keepdims=True)
+            larg = jnp.argmin(e, axis=0).astype(jnp.int32)[None, :] + mi * tile_m
+            upd = lmin < best_e[...]  # strict <: first (lowest-index) tie wins
+            best_i[...] = jnp.where(upd, larg, best_i[...])
+            best_e[...] = jnp.where(upd, lmin, best_e[...])
+            return 0
 
-    @pl.when(mi == mt - 1)
-    def _write():
-        # NOTE: pl.when PREDICATES on this Mosaic version (it does not skip),
-        # so the (m_pad × TILE_N) compare + K=m_pad matmul below is PAID ON
-        # EVERY mi grid step and only the last result lands. A net win was
-        # measured at the merge-layer shapes this kernel serves (m ≈ 3000 —
-        # the raw partial is always the target, vv_recon.py:213,225,238); the
-        # overhead grows with mt, so if a larger target cloud ever routes
-        # here, move the recovery into a separate single-step grid phase.
+        lax.fori_loop(0, mt, body, 0)
+
         s1 = jnp.sum(x1 * x1, axis=0, keepdims=True)
         d = jnp.maximum(best_e[...] + s1, 0.0)
         dist_ref[0] = jnp.broadcast_to(d, dist_ref.shape[1:])
         # one-hot gather: rows == best_i is exact-single per lane (best_i is
         # one index), so the MXU contraction returns exactly x2[best_i]
-        x2a = x2all_ref[0]  # (m_pad, 3)
         rows = jax.lax.broadcasted_iota(jnp.int32, (x2a.shape[0], best_i.shape[1]), 0)
         onehot = (rows == best_i[...]).astype(jnp.float32)  # (m_pad, TILE_N)
         nn = jax.lax.dot_general(
@@ -137,6 +136,8 @@ def _coords_kernel(x1t_ref, x2_ref, x2all_ref, dist_ref, nn_ref, best_e, best_i)
             preferred_element_type=jnp.float32,
         )  # (TILE_N, 3)
         nn_ref[0] = jnp.pad(nn, ((0, 0), (0, nn_ref.shape[2] - 3)))
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -165,23 +166,24 @@ def nn_coords_pallas(xyz1: jax.Array, xyz2: jax.Array):
         constant_values=_PAD_COORD,
     )
 
-    grid = (b, n_pad // tile_n, m_pad // tile_m)
+    mt = m_pad // tile_m
+    grid = (b, n_pad // tile_n)
     dist, nn = pl.pallas_call(
-        _coords_kernel,
+        _make_coords_kernel(tile_m, mt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3, tile_n), lambda bi, ni, mi: (bi, 0, ni), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, 3), lambda bi, ni, mi: (bi, mi, 0), memory_space=pltpu.VMEM),
-            # second view of the target cloud: the WHOLE (padded) cloud,
-            # constant across the grid, used only by the final one-hot gather
-            pl.BlockSpec((1, m_pad, 3), lambda bi, ni, mi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile_n), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM),
+            # the WHOLE (padded) target cloud, VMEM-resident: the in-kernel
+            # fori slices scan tiles from it and the final one-hot gather
+            # contracts against it (constant across ni — fetched per batch)
+            pl.BlockSpec((1, m_pad, 3), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 8, tile_n), lambda bi, ni, mi: (bi, 0, ni), memory_space=pltpu.VMEM
+                (1, 8, tile_n), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, tile_n, 8), lambda bi, ni, mi: (bi, ni, 0), memory_space=pltpu.VMEM
+                (1, tile_n, 8), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
@@ -196,11 +198,11 @@ def nn_coords_pallas(xyz1: jax.Array, xyz2: jax.Array):
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
-            flops=11 * b * n_pad * m_pad,
-            bytes_accessed=4 * b * (3 * n_pad + 6 * m_pad + 5 * n_pad),
+            flops=9 * b * n_pad * m_pad,
+            bytes_accessed=4 * b * (3 * n_pad + 3 * m_pad + 5 * n_pad),
             transcendentals=0,
         ),
-    )(x1t, x2, x2)
+    )(x1t, x2)
     return dist[:, 0, :n], nn[:, :n, :3]
 
 
