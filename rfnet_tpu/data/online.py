@@ -57,6 +57,15 @@ def synthetic_batch(key: jax.Array, batch: int, innum: int, ptnum: int):
     continuous samples the strict-median crop of the host generator keeps
     exactly n/2 points, which is what the rank cut below selects).
     """
+    if innum > ptnum // 2:
+        # jnp's static slice in _take_best CLAMPS out-of-range bounds, so a
+        # too-large innum would silently yield a (b, ptnum//2, 3) partial;
+        # the host generator (dataset.synthetic_pairs + resample_pcd) pads
+        # duplicates instead. Refuse rather than diverge between the modes.
+        raise ValueError(
+            f"synthetic_batch needs innum <= ptnum//2 (got innum={innum}, "
+            f"ptnum={ptnum}); the half-space crop keeps only ptnum//2 points"
+        )
     kc, kw, kn, kv, ks = jax.random.split(key, 5)
     centers = BLOB_SCALE * jax.random.normal(kc, (batch, NUM_BLOBS, 3))
     which = jax.random.randint(kw, (batch, ptnum), 0, NUM_BLOBS)

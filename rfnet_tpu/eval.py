@@ -139,6 +139,7 @@ def test(args):
         model_list = f.read().splitlines()
 
     total_time = 0.0
+    timed_models = 0
     total_cd = 0.0
     total_emd = 0.0
     cd_per_cat: dict[str, list] = {}
@@ -148,16 +149,17 @@ def test(args):
 
     def process_results(chunk_start, chunk, partials, gts, completion, cds, emds,
                         elapsed):
-        nonlocal total_time, total_cd, total_emd
+        nonlocal total_time, timed_models, total_cd, total_emd
         for j, model_id in enumerate(chunk):
             i = chunk_start + j
-            if i >= 10:
+            if chunk_start >= 10:
                 # warmup-exclusion (recon_test.py:58-64): exact at the default
-                # batch 1; at batch_size>1 `elapsed` is batch-amortized, so a
-                # batch straddling index 10 charges its post-warmup models the
-                # amortized (warmup-contaminated) value — approximate by at
-                # most one batch's worth
+                # batch 1 (chunk_start == i); at batch_size>1 `elapsed` is
+                # batch-amortized, so a batch STRADDLING index 10 is excluded
+                # entirely (its per-cloud time is warmup-contaminated) and the
+                # divisor counts only the models actually timed
                 total_time += elapsed
+                timed_models += 1
             cd, emd = float(cds[j]), float(emds[j])
             total_cd += cd
             total_emd += emd
@@ -254,8 +256,7 @@ def test(args):
         stop.set()
     csv_file.close()
 
-    denom = max(1, len(model_list) - 10)
-    print("Average time: %f" % (total_time / denom))
+    print("Average time: %f" % (total_time / max(1, timed_models)))
     print("Average Chamfer distance: %f" % (total_cd / max(1, len(model_list))))
     print("Average Earth mover distance: %f" % (total_emd / max(1, len(model_list))))
     print("Chamfer distance per category")

@@ -399,9 +399,18 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
                     if stage_stop.is_set():
                         return
             except BaseException as exc:  # surface loader/transfer failures
-                stage_q.put(exc)
+                # stop-aware put: if the consumer already died with the queue
+                # full, an unconditional put would pin this thread forever
+                while not stage_stop.is_set():
+                    try:
+                        stage_q.put(exc, timeout=0.5)
+                        break
+                    except _queue.Full:
+                        continue
 
-        _threading.Thread(target=_stager, daemon=True).start()
+        _threading.Thread(
+            target=_stager, daemon=True, name="rfnet-stager"
+        ).start()
 
         def fetch():
             item = stage_q.get()
@@ -411,85 +420,91 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
 
         staged = fetch()
     inflight: "collections.deque" = collections.deque()
-    for i in range(start, config.iters):
-        # staged is (partial, gt) — or (partial, gt, gt1, gt2) in preload
-        # mode, where the FPS pyramids were precomputed over the resident set
-        state, lb, diag = jstep(state, *staged)
-        staged = fetch()
-        # Bound the async dispatch depth: without this the host can race
-        # hundreds of steps ahead of the device, pinning every staged batch
-        # (observed: ~30 GB RSS and a progressively degrading step rate).
-        # The sync is amortized — ONE scalar readback per 16 steps, from 64
-        # steps in the past — because on this platform every readback is a
-        # full relay round trip (a per-step float() measured 3× slower than
-        # free-running).
-        if i % 16 == 0:
-            inflight.append(lb.total)
-            if len(inflight) > 4:
-                float(inflight.popleft())
-        if (i + 1) % config.log_every == 0:
-            lb_host = jax.tree_util.tree_map(float, lb)
-            now = time.perf_counter()
-            rate = config.log_every * config.batch_size / (now - t_last)
-            t_last = now
-            print(
-                f"batch {i}  loss {lb_host.total:.6f}  cd {lb_host.cd3 + lb_host.cd4:.6f}"
-                f"  emd64 {lb_host.cd1_emd:.6f}  emd1024 {lb_host.cd2_emd:.6f}"
-                f"  decfac {lb_host.loss_dec:.6f}  {rate:.1f} clouds/s"
-            )
-            print(
-                "max of code1 first: %f  nonzero:%d | code2 max %f nz %d | code3 max %f nz %d"
-                % (
-                    float(diag["code1_max"]), int(diag["code1_nonzero"]),
-                    float(diag["code2_max"]), int(diag["code2_nonzero"]),
-                    float(diag["code3_max"]), int(diag["code3_nonzero"]),
+    # the staging thread (host mode) must be stopped on EVERY exit
+    # path: an exception escaping the loop (--debug_nans, loader
+    # failure, KeyboardInterrupt) would otherwise leak a daemon
+    # thread spinning on its put-retry with ~2 staged device batches
+    try:
+        for i in range(start, config.iters):
+            # staged is (partial, gt) — or (partial, gt, gt1, gt2) in preload
+            # mode, where the FPS pyramids were precomputed over the resident set
+            state, lb, diag = jstep(state, *staged)
+            staged = fetch()
+            # Bound the async dispatch depth: without this the host can race
+            # hundreds of steps ahead of the device, pinning every staged batch
+            # (observed: ~30 GB RSS and a progressively degrading step rate).
+            # The sync is amortized — ONE scalar readback per 16 steps, from 64
+            # steps in the past — because on this platform every readback is a
+            # full relay round trip (a per-step float() measured 3× slower than
+            # free-running).
+            if i % 16 == 0:
+                inflight.append(lb.total)
+                if len(inflight) > 4:
+                    float(inflight.popleft())
+            if (i + 1) % config.log_every == 0:
+                lb_host = jax.tree_util.tree_map(float, lb)
+                now = time.perf_counter()
+                rate = config.log_every * config.batch_size / (now - t_last)
+                t_last = now
+                print(
+                    f"batch {i}  loss {lb_host.total:.6f}  cd {lb_host.cd3 + lb_host.cd4:.6f}"
+                    f"  emd64 {lb_host.cd1_emd:.6f}  emd1024 {lb_host.cd2_emd:.6f}"
+                    f"  decfac {lb_host.loss_dec:.6f}  {rate:.1f} clouds/s"
                 )
-            )
-            if is_lead:
-                with open(metrics_path, "a") as f:
-                    f.write(json.dumps({"step": i, **lb_host._asdict()}) + "\n")
-            if tb is not None and is_lead:
-                with tb.as_default(step=i):
-                    import tensorflow as tf  # noqa: PLC0415
-
-                    for k, v in lb_host._asdict().items():
-                        tf.summary.scalar(f"loss/{k}", v)
-                    tf.summary.scalar("throughput/clouds_per_sec", rate)
-                    # per-weight/bias histograms at the same 500-step cadence
-                    # the reference merges its tf.summary.histogram calls
-                    # (vv_recon.py:36,42,432-434)
-                    for path, leaf in jax.tree_util.tree_flatten_with_path(
-                        state.params
-                    )[0]:
-                        name = jax.tree_util.keystr(path).strip("[]").replace(
-                            "']['", "/"
-                        ).strip("'")
-                        tf.summary.histogram(name, np.asarray(leaf))
-        if (i + 1) % config.ckpt_every == 0:
-            mgr.save(i + 1, args=ocp.args.StandardSave(state))
-            mgr.wait_until_finished()
-            mean_cd, mean_emd = evaluate(
-                jeval, state, valid_iter, valid_num, config, n_devices, to_dev
-            )
-            print(f"eval @ {i + 1}: mean cd {mean_cd:.6f} mean emd {mean_emd:.6f}")
-            if is_lead:  # machine-readable eval curve alongside the scalars
-                with open(metrics_path, "a") as f:
-                    f.write(json.dumps(
-                        {"step": i + 1, "eval_cd": mean_cd, "eval_emd": mean_emd}
-                    ) + "\n")
-            # multi-host: mean_cd is computed from replicated jeval outputs
-            # over per-process eval shards — identical on every process, so
-            # the save decision agrees and the orbax save stays collective
-            if mean_cd < best_cd:
-                best_cd = mean_cd
-                best_mgr.save(i + 1, args=ocp.args.StandardSave(state))
-                best_mgr.wait_until_finished()
+                print(
+                    "max of code1 first: %f  nonzero:%d | code2 max %f nz %d | code3 max %f nz %d"
+                    % (
+                        float(diag["code1_max"]), int(diag["code1_nonzero"]),
+                        float(diag["code2_max"]), int(diag["code2_nonzero"]),
+                        float(diag["code3_max"]), int(diag["code3_nonzero"]),
+                    )
+                )
                 if is_lead:
-                    with open(best_meta_path, "w") as f:
-                        json.dump({"step": i + 1, "cd": best_cd}, f)
-                print("record bestsofar:", mean_emd, mean_cd)
-    if stage_stop is not None:
-        stage_stop.set()
+                    with open(metrics_path, "a") as f:
+                        f.write(json.dumps({"step": i, **lb_host._asdict()}) + "\n")
+                if tb is not None and is_lead:
+                    with tb.as_default(step=i):
+                        import tensorflow as tf  # noqa: PLC0415
+
+                        for k, v in lb_host._asdict().items():
+                            tf.summary.scalar(f"loss/{k}", v)
+                        tf.summary.scalar("throughput/clouds_per_sec", rate)
+                        # per-weight/bias histograms at the same 500-step cadence
+                        # the reference merges its tf.summary.histogram calls
+                        # (vv_recon.py:36,42,432-434)
+                        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                            state.params
+                        )[0]:
+                            name = jax.tree_util.keystr(path).strip("[]").replace(
+                                "']['", "/"
+                            ).strip("'")
+                            tf.summary.histogram(name, np.asarray(leaf))
+            if (i + 1) % config.ckpt_every == 0:
+                mgr.save(i + 1, args=ocp.args.StandardSave(state))
+                mgr.wait_until_finished()
+                mean_cd, mean_emd = evaluate(
+                    jeval, state, valid_iter, valid_num, config, n_devices, to_dev
+                )
+                print(f"eval @ {i + 1}: mean cd {mean_cd:.6f} mean emd {mean_emd:.6f}")
+                if is_lead:  # machine-readable eval curve alongside the scalars
+                    with open(metrics_path, "a") as f:
+                        f.write(json.dumps(
+                            {"step": i + 1, "eval_cd": mean_cd, "eval_emd": mean_emd}
+                        ) + "\n")
+                # multi-host: mean_cd is computed from replicated jeval outputs
+                # over per-process eval shards — identical on every process, so
+                # the save decision agrees and the orbax save stays collective
+                if mean_cd < best_cd:
+                    best_cd = mean_cd
+                    best_mgr.save(i + 1, args=ocp.args.StandardSave(state))
+                    best_mgr.wait_until_finished()
+                    if is_lead:
+                        with open(best_meta_path, "w") as f:
+                            json.dump({"step": i + 1, "cd": best_cd}, f)
+                    print("record bestsofar:", mean_emd, mean_cd)
+    finally:
+        if stage_stop is not None:
+            stage_stop.set()
     jax.block_until_ready(state.params)
     print(f"trained {int(state.step) - start} steps (now at step {int(state.step)})")
     return state
@@ -603,7 +618,9 @@ def main(argv=None):
         config = dataclasses.replace(config, batch_size=args.batch_size)
     if args.ckpt_every:
         config = dataclasses.replace(config, ckpt_every=args.ckpt_every)
-    if args.schedule_scale:
+    if args.schedule_scale is not None:  # `if x:` would drop an explicit 0.0
+        if args.schedule_scale <= 0:
+            p.error("--schedule_scale must be > 0")
         config = dataclasses.replace(config, schedule_scale=args.schedule_scale)
 
     # per-host input pipeline: each process loads a DISJOINT 1/num_shards of

@@ -10,14 +10,16 @@ order effect on nn_grad_scatter's band intervals (over-visits are exact but
 cost time).
 """
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable as `python tools/<x>.py`
+
+import functools as _functools
+
+from tools._common import timeit as _timeit
 
 from rfnet_tpu.models import RFNet
 from rfnet_tpu.ops import chamfer
@@ -26,16 +28,9 @@ from rfnet_tpu.train import TrainConfig, create_state
 ITERS = 10
 
 
-def timeit(name, fn, *args):
-    float(jnp.sum(fn(*args)[0]))
-    for _ in range(2):
-        float(jnp.sum(fn(*args)[0]))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(ITERS)]
-    float(jnp.sum(outs[-1][0]))
-    ms = (time.perf_counter() - t0) / ITERS * 1e3
-    print(f"{name:44s}: {ms:8.2f} ms", flush=True)
-    return ms
+# shared timing protocol (compile + 2 warmups + readback-of-last);
+# see tools/_common.py — one place to change the measurement rules
+timeit = _functools.partial(_timeit, iters=ITERS, width=44)
 
 
 def main():

@@ -9,14 +9,16 @@ This times the kernel pair (out3→gt + gt→out3, presorted, b32 16384²) per
 config on exactly that data.
 """
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable as `python tools/<x>.py`
+
+import functools as _functools
+
+from tools._common import timeit as _timeit
 
 from rfnet_tpu.models import RFNet
 from rfnet_tpu.ops.chamfer import _zsort
@@ -26,16 +28,9 @@ from rfnet_tpu.train import TrainConfig, create_state
 ITERS = 10
 
 
-def timeit(name, fn, *args):
-    float(jnp.sum(fn(*args)))
-    for _ in range(2):
-        float(jnp.sum(fn(*args)))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(ITERS)]
-    float(jnp.sum(outs[-1]))
-    ms = (time.perf_counter() - t0) / ITERS * 1e3
-    print(f"{name:32s}: {ms:8.2f} ms", flush=True)
-    return ms
+# shared timing protocol (compile + 2 warmups + readback-of-last);
+# see tools/_common.py — one place to change the measurement rules
+timeit = _functools.partial(_timeit, iters=ITERS, width=32)
 
 
 def main():

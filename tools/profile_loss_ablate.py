@@ -6,14 +6,16 @@ cd34 65, +recd 85, +emd 74, recd+emd 33) yet the full stack f+b is 154 ms
 one term dropped at a time, on fabricated outputs with the real shapes.
 """
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable as `python tools/<x>.py`
+
+import functools as _functools
+
+from tools._common import timeit as _timeit
 
 from rfnet_tpu import losses
 from rfnet_tpu.models import RFNet
@@ -22,17 +24,9 @@ from rfnet_tpu.train import TrainConfig, create_state
 ITERS = 10
 
 
-def timeit(name, fn, *args):
-    out = fn(*args)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-    for _ in range(2):
-        float(jnp.sum(jax.tree_util.tree_leaves(fn(*args))[0]))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(ITERS)]
-    float(jnp.sum(jax.tree_util.tree_leaves(outs[-1])[0]))
-    ms = (time.perf_counter() - t0) / ITERS * 1e3
-    print(f"{name:16s}: {ms:8.2f} ms", flush=True)
-    return ms
+# shared timing protocol (compile + 2 warmups + readback-of-last);
+# see tools/_common.py — one place to change the measurement rules
+timeit = _functools.partial(_timeit, iters=ITERS, width=16)
 
 
 def make_loss(drop):

@@ -5,8 +5,6 @@ pieces sum to ~106 (cd34 66 + recd 23 + emd 11 + zgn 6). These composites
 bisect which combination pays the extra ~48 ms.
 """
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,23 +12,19 @@ import numpy as np
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable as `python tools/<x>.py`
 
+import functools as _functools
+
+from tools._common import timeit as _timeit
+
 from rfnet_tpu import losses
 from rfnet_tpu.ops.chamfer import chamfer_means_pair
 
 ITERS = 10
 
 
-def timeit(name, fn, *args):
-    out = fn(*args)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-    for _ in range(2):
-        float(jnp.sum(jax.tree_util.tree_leaves(fn(*args))[0]))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(ITERS)]
-    float(jnp.sum(jax.tree_util.tree_leaves(outs[-1])[0]))
-    ms = (time.perf_counter() - t0) / ITERS * 1e3
-    print(f"{name:14s}: {ms:8.2f} ms", flush=True)
-    return ms
+# shared timing protocol (compile + 2 warmups + readback-of-last);
+# see tools/_common.py — one place to change the measurement rules
+timeit = _functools.partial(_timeit, iters=ITERS, width=14)
 
 
 def main():
