@@ -40,19 +40,30 @@ import jax.numpy as jnp
 from jax import export as jexport
 
 
-def export_forward(state, batch_size: int, innum: int,
+def export_forward(state, batch_size: int | None, innum: int,
                    platforms: tuple[str, ...] | None = None):
     """Export ``partial (b, innum, 3) -> completion (b, ptnum, 3)``.
 
     Params are closed over (baked into the module as constants): the
     artifact is the whole model. Returns a `jax.export.Exported`.
+
+    ``batch_size=None`` exports a SYMBOLIC batch dimension — one artifact
+    serves any batch size (verified bit-exact vs the live model across
+    sizes). Caveat: the Pallas kernels have static grids, so symbolic-batch
+    export needs the XLA op paths — export from a CPU process (the op layer
+    picks kernels per backend at trace time) and lower for the serving
+    platform via ``platforms=("tpu", "cpu")``.
     """
     params = state.params
 
     def forward(partial):
         return state.apply_fn(params, partial).out4
 
-    spec = jax.ShapeDtypeStruct((batch_size, innum, 3), jnp.float32)
+    if batch_size is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = batch_size
+    spec = jax.ShapeDtypeStruct((b, innum, 3), jnp.float32)
     return jexport.export(jax.jit(forward), platforms=platforms)(spec)
 
 
@@ -78,7 +89,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="export the completion forward")
     p.add_argument("--checkpoint", default="./bestrecord")
     p.add_argument("--out", default="rfnet_forward.shlo")
-    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument(
+        "--batch_size", type=int, default=1,
+        help="serving batch size; 0 = symbolic (any batch size, XLA op "
+        "paths — export from a CPU process, see export_forward)",
+    )
     p.add_argument("--num_gt_points", type=int, default=16384)
     p.add_argument(
         "--bf16", action="store_true",
@@ -98,7 +113,9 @@ def main(argv=None):
     state = load_state(args.checkpoint, config)
     print("trainable parameters:", count_params(state.params))
     platforms = tuple(args.platforms.split(",")) if args.platforms else None
-    exported = export_forward(state, args.batch_size, config.innum, platforms)
+    exported = export_forward(
+        state, args.batch_size or None, config.innum, platforms
+    )
     size = save_exported(exported, args.out)
     print(
         f"wrote {args.out}: {size / 1e6:.1f} MB, "

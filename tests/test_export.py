@@ -33,6 +33,24 @@ def test_export_roundtrip_matches_live_model(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(served), np.asarray(live))
 
 
+def test_export_symbolic_batch(tmp_path, rng):
+    """batch_size=None -> one artifact serves ANY batch size, bit-exact."""
+    from rfnet_tpu.export import export_forward, load_forward, save_exported
+
+    config = TrainConfig(**TINY)
+    state = create_state(config)
+    exported = export_forward(state, batch_size=None, innum=config.innum)
+    path = os.path.join(tmp_path, "sym.shlo")
+    save_exported(exported, path)
+    served = load_forward(path)
+    live = jax.jit(lambda x: state.apply_fn(state.params, x).out4)
+    for bs in (1, 3):
+        partial = jnp.asarray(rng.rand(bs, config.innum, 3).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(served(partial)), np.asarray(live(partial))
+        )
+
+
 def test_export_cli(tmp_path, monkeypatch):
     from rfnet_tpu import export as export_mod
     from rfnet_tpu import train as train_mod
