@@ -414,3 +414,40 @@ def test_eval_loader_failure_raises_not_hangs(tmp_path, rng, monkeypatch):
             "--results_dir", os.path.join(tmp_path, "results"),
             "--num_gt_points", "128",
         ])
+
+
+def test_convert_pcds_to_npz_roundtrip(tmp_path, rng):
+    """`python -m rfnet_tpu.data.convert pcds` — .pcd fixtures become the
+    native .npz format and read back byte-identically through dir_source."""
+    from rfnet_tpu.data.convert import main as convert_main
+    from rfnet_tpu.data.dataset import dir_source
+
+    ids = ["0001/a", "0002/b"]
+    clouds = {}
+    for mid in ids:
+        for kind, n in [("partial", 40), ("complete", 128)]:
+            p = os.path.join(tmp_path, "data", kind, f"{mid}.pcd")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            pts = rng.rand(n, 3).astype(np.float32)
+            save_pcd(p, pts)
+            clouds[(mid, kind)] = pts
+    list_path = os.path.join(tmp_path, "test.list")
+    with open(list_path, "w") as f:
+        f.write("\n".join(ids) + "\n")
+
+    out_dir = os.path.join(tmp_path, "npz")
+    assert convert_main(["pcds", list_path, os.path.join(tmp_path, "data"), out_dir]) == 0
+
+    got_ids, load = dir_source(out_dir)
+    assert got_ids == [i.replace("/", "__") for i in ids]
+    for i, mid in enumerate(ids):
+        gid, partial, gt = load(i)
+        assert gid == mid.replace("/", "__")
+        # ascii .pcd repr loses the odd last ulp vs the original float32
+        # bits; the converter preserves what read_pcd yields
+        np.testing.assert_allclose(
+            partial, clouds[(mid, "partial")], rtol=0, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            gt, clouds[(mid, "complete")], rtol=0, atol=1e-6
+        )
