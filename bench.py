@@ -32,15 +32,14 @@ def _load_trained(state):
         try:
             import orbax.checkpoint as ocp
 
+            from rfnet_tpu.compat.ckpt_compat import restore_flexible
             from rfnet_tpu.train import _abstract
 
             mgr = ocp.CheckpointManager(os.path.abspath(d))
             latest = mgr.latest_step()
             if latest is None:
                 continue
-            restored = mgr.restore(
-                latest, args=ocp.args.StandardRestore(_abstract(state))
-            )
+            restored, _up = restore_flexible(mgr, latest, _abstract(state))
             print(f"bench weights: {d} step {latest}", file=sys.stderr)
             return restored
         except Exception:

@@ -45,8 +45,13 @@ def load_state(checkpoint: str, config: TrainConfig):
     if latest is None:
         print(f"WARNING: no checkpoint under {checkpoint}; evaluating random init")
         return state
+    from rfnet_tpu.compat.ckpt_compat import restore_flexible
+
     abstract = jax.tree_util.tree_map(ocp_abstract, state)
-    return mgr.restore(latest, args=ocp.args.StandardRestore(abstract))
+    restored, upgraded = restore_flexible(mgr, latest, abstract)
+    if upgraded:
+        print("checkpoint upgraded from legacy shared-bias layout")
+    return restored
 
 
 def make_complete_fn(state):

@@ -7,9 +7,14 @@ encode → decode/upsample ×16 → merge-with-input → refine, growing a parti
 
 Weight sharing reproduced exactly:
   * ``EncodeCell`` ('cell') is ONE module applied at every step
-    (reference ``reuse=True`` at `vv_recon.py:217,229`);
+    (reference ``reuse=True`` at `vv_recon.py:217,229`) — but only the
+    KERNELS are shared: ``tf.Variable`` biases ignore scope reuse, so each
+    invocation trains its own bias set (the trained checkpoint's bias-only
+    ``cell_1/ cell_2/`` scopes, `bestrecord/model-229999.index`). Modeled
+    with :class:`~rfnet_tpu.nn.StepDense` per-step bias tables;
   * ``DecodeCell`` ('decode_cell') is ONE module applied at steps 2 and 3
-    (`vv_recon.py:220,232`);
+    (`vv_recon.py:220,232`), same kernel-only sharing (checkpoint scope
+    ``decode_cell_1/``);
   * the three ``RecoverCell``s / ``RefineLayer``s are per-step
     (`vv_recon.py:202,218,230` / `:214,226,239`);
   * residual codewords code2 = code1 + Δ, code3 = code2 + Δ
@@ -37,7 +42,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from rfnet_tpu.nn import PointMLP, dense
+from rfnet_tpu.nn import PointMLP, StepDense, dense
 from rfnet_tpu.ops.chamfer import nearest_neighbor_coords
 from rfnet_tpu.ops.fps import farthest_point_sample, gather_point
 
@@ -67,21 +72,26 @@ class EncodeCell(nn.Module):
     """The shared RNN cell (`encode_cell`, vv_recon.py:93-111).
 
     (points (b,n,3), state (b,1,S)) -> (code (b,1,S), new_state (b,1,S)).
+
+    Kernels are shared across the ``n_steps`` recurrent invocations; biases
+    are per-step (``step`` = 0/1/2 ↔ checkpoint scopes cell/cell_1/cell_2 —
+    see the module docstring and :class:`~rfnet_tpu.nn.StepDense`).
     """
 
     mlp: tuple = (256, 384)
     mlpout: tuple = (256, 256)
     state_len: int = 256
+    n_steps: int = 3
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, pts, state):
+    def __call__(self, pts, state, step: int):
         n = pts.shape[1]
         x = jnp.concatenate([pts, jnp.broadcast_to(state, (pts.shape[0], n, state.shape[-1]))], -1)
-        x = MLP(self.mlp, name="state_mlp", dtype=self.dtype)(x)
-        x = nn.relu(_dense(self.state_len, "state_end", self.dtype)(x))
+        x = MLP(self.mlp, name="state_mlp", dtype=self.dtype, n_steps=self.n_steps)(x, step)
+        x = nn.relu(StepDense(self.state_len, self.n_steps, name="state_end", dtype=self.dtype)(x, step))
         new_state = jnp.max(x, axis=1, keepdims=True)
-        code = MLP(self.mlpout, name="code_mlp", dtype=self.dtype)(new_state)
+        code = MLP(self.mlpout, name="code_mlp", dtype=self.dtype, n_steps=self.n_steps)(new_state, step)
         return code, new_state
 
 
@@ -163,6 +173,10 @@ class DecodeCell(nn.Module):
     offsets per centre, and the per-point state is upsampled through 16
     sequentially-chained `state_expand` branches.
     Returns (points (b, 16n, 3), state (b, 16n, S), moves (b, n, 16, 3)).
+
+    Kernels are shared across the ``n_steps`` invocations; biases are
+    per-step (``step`` = 0/1 ↔ checkpoint scopes decode_cell/decode_cell_1
+    — see the module docstring and :class:`~rfnet_tpu.nn.StepDense`).
     """
 
     up_ratio: int = 16
@@ -172,31 +186,39 @@ class DecodeCell(nn.Module):
     mlp_mask: tuple = (128, 128)
     mlp_expand: tuple = (128,)
     state_len: int = 128
+    n_steps: int = 2
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, code, center, state):
+    def __call__(self, code, center, state, step: int):
+        ns = self.n_steps
+
+        def sdense(ch, name):
+            return StepDense(ch, ns, name=name, dtype=self.dtype)
+
         b, n, _ = center.shape
         clen = code.shape[-1]
         mask = jnp.concatenate([center, jnp.broadcast_to(code, (b, n, clen))], -1)
-        mask = MLP(self.mlp_mask, name="mask_mlp", dtype=self.dtype)(mask)
-        mask = nn.relu(_dense(clen, "mask_out", self.dtype)(mask))  # (b, n, clen)
-        info = nn.relu(_dense(256, "input_trans", self.dtype)(mask * code))
-        sinfo = nn.relu(_dense(128, "state_trans", self.dtype)(state))
-        x = MLP(self.mlp, name="mlp", dtype=self.dtype)(jnp.concatenate([info, sinfo], -1))
-        p = MLP(self.mlp1, name="points_mlp", dtype=self.dtype)(x)
-        p = jnp.tanh(_dense(3 * self.up_ratio, "points_out", self.dtype)(p))
+        mask = MLP(self.mlp_mask, name="mask_mlp", dtype=self.dtype, n_steps=ns)(mask, step)
+        mask = nn.relu(sdense(clen, "mask_out")(mask, step))  # (b, n, clen)
+        info = nn.relu(sdense(256, "input_trans")(mask * code, step))
+        sinfo = nn.relu(sdense(128, "state_trans")(state, step))
+        x = MLP(self.mlp, name="mlp", dtype=self.dtype, n_steps=ns)(
+            jnp.concatenate([info, sinfo], -1), step
+        )
+        p = MLP(self.mlp1, name="points_mlp", dtype=self.dtype, n_steps=ns)(x, step)
+        p = jnp.tanh(sdense(3 * self.up_ratio, "points_out")(p, step))
         moves = p.reshape(b, n, self.up_ratio, 3)
         pts = (center[:, :, None, :] + moves).reshape(b, n * self.up_ratio, 3)
         s = jnp.concatenate([x, jnp.broadcast_to(code, (b, n, clen))], -1)
-        s = MLP(self.mlp2, name="state_mlp", dtype=self.dtype)(s)  # (b, n, 128)
+        s = MLP(self.mlp2, name="state_mlp", dtype=self.dtype, n_steps=ns)(s, step)  # (b, n, 128)
         branches = []
         cur = s
         for i in range(self.up_ratio):
             # branch i feeds branch i+1 — the reference chains `newnew`
             # through every state_expand block (vv_recon.py:353-360)
-            cur = MLP(self.mlp_expand, name=f"expand{i}_pre", dtype=self.dtype)(cur)
-            cur = nn.leaky_relu(_dense(self.state_len, f"expand{i}", self.dtype)(cur))
+            cur = MLP(self.mlp_expand, name=f"expand{i}_pre", dtype=self.dtype, n_steps=ns)(cur, step)
+            cur = nn.leaky_relu(sdense(self.state_len, f"expand{i}")(cur, step))
             branches.append(cur)
         smove = jnp.stack(branches, axis=2)  # (b, n, up, S)
         new_state = (state[:, :, None, :] + smove).reshape(
@@ -314,7 +336,7 @@ class RFNet(nn.Module):
         state = self.init_mlp(pc)
 
         # ---- step 1: coarse 64 = 32 generated + 32 moved FPS seeds --------
-        code_raw, state = self.cell(pc, state)
+        code_raw, state = self.cell(pc, state, 0)
         code1 = self.recover1(code_raw, pc)
         seed = gather_point(pc, farthest_point_sample(self.n_seed, pc))
         moved, dstate_m = self.init_move(seed, code1)
@@ -330,18 +352,18 @@ class RFNet(nn.Module):
 
         # ---- step 2: 64 -> 1024 -------------------------------------------
         pin = jnp.concatenate([pc, points1], axis=1)
-        code_raw, state = self.cell(pin, state)
+        code_raw, state = self.cell(pin, state, 1)
         code2 = code1 + self.recover2(code_raw, pin)
-        points2, dstate, moves1 = self.decode(code2, points1, dstate)
+        points2, dstate, moves1 = self.decode(code2, points1, dstate, 0)
         points2_pre = points2
         points2 = merge_layer(pc, points2, self.decfactor1)
         points2, dstate, _ = self.refine2(points2, code2, dstate)
 
         # ---- step 3: 1024 -> 16384 ----------------------------------------
         pin = jnp.concatenate([pc, points2], axis=1)
-        code_raw, state = self.cell(pin, state)
+        code_raw, state = self.cell(pin, state, 2)
         code3 = code2 + self.recover3(code_raw, pin)
-        points3, dstate, moves2 = self.decode(code3, points2, dstate)
+        points3, dstate, moves2 = self.decode(code3, points2, dstate, 1)
         points_final = merge_layer(pc, points3, self.decfactor2)
         points_final, _, final_move = self.refine_final(points_final, code3, dstate)
 

@@ -9,6 +9,14 @@ throughout): one MXU matmul per layer, fused with bias+activation by XLA.
 
 Init parity: TF1 ``xavier_initializer`` (uniform ±√(6/(fan_in+fan_out))) →
 ``nn.initializers.xavier_uniform``; biases zero (`vv_recon.py:40-43,56`).
+
+Matmul precision: the feature MLPs run at JAX's DEFAULT TPU matmul
+precision (fp32 params/activations, single-pass MXU with bf16-truncated
+inputs and fp32 accumulation) — a deliberate TPU-first choice: it is the
+hardware's native fast path, and the model's accuracy is insensitive to it
+(the coordinate pipeline, merges, and all loss/metric kernels stay exact
+fp32; exactness-critical one-hot contractions in ops/pallas pin
+``Precision.HIGHEST`` — see CLAUDE.md "Hard-won kernel facts").
 The reference *collects* an L2 regulariser per weight but never adds the
 collection to the loss (`vv_recon.py:34-39` vs `:495-500` — the 'losses'
 collection is never read), so no weight decay is applied by default; the
@@ -39,18 +47,59 @@ def dense(ch: int, name: str, dtype=None) -> nn.Dense:
     )
 
 
+class StepDense(nn.Module):
+    """Dense layer with a SHARED kernel and PER-STEP biases.
+
+    Replicates a subtle reference quirk proven by its trained checkpoint
+    (`bestrecord/model-229999.index`): ``conv2d`` creates weights with
+    ``tf.get_variable`` (honors ``variable_scope(reuse=True)`` → shared
+    across recurrent invocations, `vv_recon.py:35,49-54`) but biases with
+    ``tf.Variable`` (`vv_recon.py:41` — NEVER reused; under a reused scope
+    TF uniquifies the name scope, yielding the checkpoint's bias-only
+    ``cell_1/ cell_2/ decode_cell_1/`` scopes). So each recurrent step of
+    the reference trains its OWN bias while sharing the kernel. Bias is
+    stored as one ``(n_steps, ch)`` table; ``step`` must be a static int.
+    Init parity: biases start at zero (`vv_recon.py:41`), so at init every
+    step's bias is identical and the forward equals the fully-shared one.
+    """
+
+    ch: int
+    n_steps: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, step: int) -> jax.Array:
+        kernel = self.param("kernel", xavier, (x.shape[-1], self.ch))
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.n_steps, self.ch)
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        return x @ kernel + bias[step]
+
+
 class PointMLP(nn.Module):
     """conv2d-[1,1] stack; every layer ReLU unless the last is overridden
-    (mirrors ``conv2d``'s default ``activation_func=tf.nn.relu``)."""
+    (mirrors ``conv2d``'s default ``activation_func=tf.nn.relu``).
+
+    ``n_steps > 1`` switches every layer to :class:`StepDense` (shared
+    kernels, per-recurrent-step biases — the reference reuse quirk); the
+    call then takes the static step index via ``step``.
+    """
 
     features: tuple
     last_act: Any = nn.relu
     dtype: Any = None
+    n_steps: int = 1
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, step: int = 0) -> jax.Array:
         for i, ch in enumerate(self.features):
-            x = dense(ch, f"l{i}", self.dtype)(x)
+            if self.n_steps > 1:
+                x = StepDense(ch, self.n_steps, name=f"l{i}", dtype=self.dtype)(x, step)
+            else:
+                x = dense(ch, f"l{i}", self.dtype)(x)
             act = nn.relu if i < len(self.features) - 1 else self.last_act
             if act is not None:
                 x = act(x)

@@ -176,13 +176,14 @@ def _ckpt_managers(config: TrainConfig):
 
 
 def restore_if_available(mgr, state: TrainState) -> TrainState:
-    import orbax.checkpoint as ocp
-
     latest = mgr.latest_step()
     if latest is None:
         return state
-    restored = mgr.restore(latest, args=ocp.args.StandardRestore(_abstract(state)))
-    print(f"restored checkpoint at step {latest}")
+    from rfnet_tpu.compat.ckpt_compat import restore_flexible
+
+    restored, upgraded = restore_flexible(mgr, latest, _abstract(state))
+    note = " (upgraded from legacy shared-bias layout)" if upgraded else ""
+    print(f"restored checkpoint at step {latest}{note}")
     return restored
 
 

@@ -43,6 +43,15 @@ def test_weight_sharing_matches_reference(rng):
     assert {"recover1", "recover2", "recover3"} <= keys
     assert {"refine_layer1", "refine_layer2", "refine_layer_final"} <= keys
     assert {"decline_factor0", "decline_factor1", "decline_factor"} <= keys
+    # kernel-only sharing: tf.Variable biases ignore scope reuse, so the
+    # trained checkpoint has per-invocation bias scopes (cell_1/ cell_2/
+    # decode_cell_1/) — modeled as (n_steps, ch) bias tables
+    cell = params["cell"]
+    assert cell["state_mlp"]["l0"]["bias"].shape[0] == 3
+    assert cell["state_mlp"]["l0"]["kernel"].ndim == 2  # one shared kernel
+    assert params["decode_cell"]["mlp"]["l0"]["bias"].shape[0] == 2
+    # per-step (non-cell) modules keep plain (ch,) biases
+    assert params["recover1"]["mlp"]["l0"]["bias"].ndim == 1
 
 
 def test_gradients_flow_everywhere(rng):
@@ -69,12 +78,15 @@ def test_gradients_flow_everywhere(rng):
 
 
 def test_fullsize_param_count_golden():
-    """Param count of the flagship config — 3,818,795, verified to match an
-    analytic layer-by-layer count of the reference conv stack
-    (`vv_recon.py:84-364`): init_mlp 41,600 + cell 395,392 + recover×3
-    594,432 + init_move 553,091 + part_mlp 41,600 + feat_trans 197,120 +
-    init_cell 525,292 + decode_cell 984,304 + refine×3 485,961 + 3
-    decline factors."""
+    """Param count of the flagship config — 3,827,611, equal to the trained
+    reference checkpoint's trainable-variable count (sum over every
+    non-Adam float32 variable in `bestrecord/model-229999.index`, minus
+    the beta powers and the untrained subvar buffers; fixture:
+    tests/fixtures/ref_ckpt_index.json). Layer-by-layer: init_mlp 41,600 +
+    cell 395,392 + 2×1,408 extra per-step cell biases + recover×3 594,432 +
+    init_move 553,091 + part_mlp 41,600 + feat_trans 197,120 + init_cell
+    525,292 + decode_cell 984,304 + 6,000 extra per-step decode biases +
+    refine×3 485,961 + 3 decline factors."""
     model = RFNet()  # n_seed=32, up_ratio=16
     shapes = jax.eval_shape(
         model.init,
@@ -86,7 +98,7 @@ def test_fullsize_param_count_golden():
     assert count == PARAM_COUNT_GOLDEN, f"param count changed: {count}"
 
 
-PARAM_COUNT_GOLDEN = 3_818_795
+PARAM_COUNT_GOLDEN = 3_827_611
 
 
 def test_deterministic_forward(rng):
