@@ -59,11 +59,18 @@ def _make_kernel(tile_n: int, tile_m: int):
             p = x1g_ref[0, :, pl.ds(q * tile_n, tile_n)]  # (4, tile_n): g*x,g*y,g*z,g
             ii = idx_ref[0, :, pl.ds(q * tile_n, tile_n)]  # (1, tile_n)
             onehot = ((ii - j0) == rows).astype(jnp.float32)  # (tile_m, tile_n)
+            # precision=HIGHEST: the default MXU path truncates the fp32
+            # gradient payload to bf16 (caught on-chip 2026-08-18 — grad err
+            # 2.6e-4 vs XLA autodiff). The 0/1 mask splits trivially and the
+            # 3-way bf16 split of p is exact, so HIGHEST restores bit-exact
+            # fp32 scatter sums (up to accumulation order, which matches the
+            # row-sum order XLA uses for the same contraction).
             return acc + lax.dot_general(
                 onehot,
                 p,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (tile_m, 4)
 
         acc = lax.fori_loop(
