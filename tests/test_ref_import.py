@@ -339,3 +339,56 @@ def test_legacy_checkpoint_upgrade(tmp_path, rng):
     mgr2.wait_until_finished()
     _, upgraded2 = ckpt_compat.restore_flexible(mgr2, 0, _abstract(state))
     assert not upgraded2
+
+
+# --------------------------------------------------------------------------
+# Hyperparameter parity from the trained MetaGraphDef
+# --------------------------------------------------------------------------
+
+REAL_META = "/root/reference/bestrecord/model-229999.meta"
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_META), reason="reference absent")
+def test_trained_graph_confirms_schedules_and_adam():
+    """The trained run's graph (not just its source) pins the schedules and
+    optimizer: LR piecewise [5e-4,2e-4,2e-4,1e-4,1e-5]@[50k,100k,150k,200k]
+    boundary-inclusive, decfactor weight [0.01,0.01,0.001]@[50k,150k],
+    Adam(0.9, 0.999, 1e-8); 239 ApplyAdam == 279 trainable − 40 dead."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import inspect_ref_graph as irg
+
+    from rfnet_tpu import losses
+
+    nodes = irg.load_nodes(REAL_META)
+    bounds, values = irg.dump_case_schedule(nodes, "alpha_op")
+    assert bounds == [50_000, 100_000, 150_000, 200_000]
+    np.testing.assert_allclose(
+        values, [5e-4, 2e-4, 2e-4, 1e-4, 1e-5], rtol=1e-6
+    )
+    # our schedule emits exactly these values across the boundaries
+    # (boundary-inclusive: step == 50k still gets 5e-4)
+    for step, want in [(0, 5e-4), (50_000, 5e-4), (50_001, 2e-4),
+                       (100_000, 2e-4), (150_000, 2e-4), (150_001, 1e-4),
+                       (200_000, 1e-4), (200_001, 1e-5)]:
+        np.testing.assert_allclose(
+            float(losses.learning_rate(jnp.int32(step))), want, rtol=1e-6
+        )
+
+    bounds1, values1 = irg.dump_case_schedule(nodes, "alpha_op_1")
+    assert bounds1 == [50_000, 150_000]
+    np.testing.assert_allclose(values1, [0.01, 0.01, 0.001], rtol=1e-6)
+    for step, want in [(0, 0.01), (150_000, 0.01), (150_001, 0.001)]:
+        np.testing.assert_allclose(
+            float(losses.decfactor_weight(jnp.int32(step))), want, rtol=1e-6
+        )
+
+    np.testing.assert_allclose(irg.const_val(nodes, "Adam/beta1"), 0.9, rtol=1e-6)
+    np.testing.assert_allclose(irg.const_val(nodes, "Adam/beta2"), 0.999, rtol=1e-6)
+    np.testing.assert_allclose(irg.const_val(nodes, "Adam/epsilon"), 1e-8, rtol=1e-6)
+
+    n_apply = sum(1 for _n, (op, _i, _t) in nodes.items() if op == "ApplyAdam")
+    untrained = [r for r in trainable_fixture_vars().values()
+                 if not r["has_adam_slot"]]
+    assert n_apply == len(trainable_fixture_vars()) - len(untrained) == 239
