@@ -126,21 +126,17 @@ def _make_coords_kernel(tile_m: int, mt: int):
         d = jnp.maximum(best_e[...] + s1, 0.0)
         dist_ref[0] = jnp.broadcast_to(d, dist_ref.shape[1:])
         # one-hot gather: rows == best_i is exact-single per lane (best_i is
-        # one index), so the MXU contraction returns exactly x2[best_i].
-        # precision=HIGHEST is REQUIRED for that exactness: the default MXU
-        # path truncates fp32 inputs to bf16 (preferred_element_type only
-        # sets the accumulator), which quantized the recovered coordinates
-        # to ~1/256 (caught by tools/verify_onchip.py 2026-08-18). With
-        # HIGHEST the 3-way bf16 split of x2 is an exact decomposition and
-        # the 0/1 mask splits trivially, so the product is bit-exact fp32.
+        # one index), so the contraction returns exactly x2[best_i]. The
+        # default MXU path would truncate x2 to bf16 (quantized coords to
+        # ~1/256, caught by tools/verify_onchip.py 2026-08-18); the 3-pass
+        # payload split keeps it bit-exact at half the HIGHEST cost
+        # (ops/pallas/exact_dot.py).
+        from rfnet_tpu.ops.pallas.exact_dot import onehot_select
+
         rows = jax.lax.broadcasted_iota(jnp.int32, (x2a.shape[0], best_i.shape[1]), 0)
         onehot = (rows == best_i[...]).astype(jnp.float32)  # (m_pad, TILE_N)
-        nn = jax.lax.dot_general(
-            onehot,
-            x2a,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        nn = onehot_select(
+            onehot, x2a, dimension_numbers=(((0,), (0,)), ((), ()))
         )  # (TILE_N, 3)
         nn_ref[0] = jnp.pad(nn, ((0, 0), (0, nn_ref.shape[2] - 3)))
 

@@ -39,6 +39,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rfnet_tpu.ops.pallas.exact_dot import onehot_select
+
 _TILE_N = 256  # query lanes per inner step (multiple of 128)
 _TILE_M = 512  # target rows per grid step (multiple of 8)
 
@@ -59,18 +61,12 @@ def _make_kernel(tile_n: int, tile_m: int):
             p = x1g_ref[0, :, pl.ds(q * tile_n, tile_n)]  # (4, tile_n): g*x,g*y,g*z,g
             ii = idx_ref[0, :, pl.ds(q * tile_n, tile_n)]  # (1, tile_n)
             onehot = ((ii - j0) == rows).astype(jnp.float32)  # (tile_m, tile_n)
-            # precision=HIGHEST: the default MXU path truncates the fp32
-            # gradient payload to bf16 (caught on-chip 2026-08-18 — grad err
-            # 2.6e-4 vs XLA autodiff). The 0/1 mask splits trivially and the
-            # 3-way bf16 split of p is exact, so HIGHEST restores bit-exact
-            # fp32 scatter sums (up to accumulation order, which matches the
-            # row-sum order XLA uses for the same contraction).
-            return acc + lax.dot_general(
-                onehot,
-                p,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            # the default MXU path truncates the fp32 gradient payload to
+            # bf16 (caught on-chip 2026-08-18 — grad err 2.6e-4 vs XLA
+            # autodiff); the 3-pass payload split keeps the scatter sums
+            # exact at half the HIGHEST cost (ops/pallas/exact_dot.py)
+            return acc + onehot_select(
+                onehot, p, dimension_numbers=(((1,), (1,)), ((), ()))
             )  # (tile_m, 4)
 
         acc = lax.fori_loop(
