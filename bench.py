@@ -28,7 +28,13 @@ def _load_trained(state):
     exp(−d²/decfactor²) reroute traffic differs from random-init. Falls back
     to random init when no checkpoint exists (throughput is shape-dominated,
     so the number stays valid either way)."""
-    for d in ("./bestrecord", "./modelvv_recon"):
+    root = os.path.dirname(os.path.abspath(__file__))
+    candidates = ["./bestrecord", "./modelvv_recon"] + [
+        os.path.join(root, r, d)
+        for r in ("run_r3c", "run_r3_online", "run_r3", ".")
+        for d in ("bestrecord", "modelvv_recon")
+    ]
+    for d in candidates:
         try:
             import orbax.checkpoint as ocp
 

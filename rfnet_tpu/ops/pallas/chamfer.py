@@ -125,20 +125,26 @@ def _make_coords_kernel(tile_m: int, mt: int):
         s1 = jnp.sum(x1 * x1, axis=0, keepdims=True)
         d = jnp.maximum(best_e[...] + s1, 0.0)
         dist_ref[0] = jnp.broadcast_to(d, dist_ref.shape[1:])
-        # one-hot gather: rows == best_i is exact-single per lane (best_i is
-        # one index), so the contraction returns exactly x2[best_i]. The
-        # default MXU path would truncate x2 to bf16 (quantized coords to
-        # ~1/256, caught by tools/verify_onchip.py 2026-08-18); the 3-pass
-        # payload split keeps it bit-exact at half the HIGHEST cost
-        # (ops/pallas/exact_dot.py).
-        from rfnet_tpu.ops.pallas.exact_dot import onehot_select
-
+        # one-hot gather on the VPU: rows == best_i is exact-single per lane
+        # (best_i is one index), so the masked column sum returns exactly
+        # x2[best_i] — bit-exact in ONE pass (0/1-masked products are exact;
+        # each lane's sum has exactly one nonzero term). The MXU form of the
+        # same contraction truncates fp32 payloads to bf16 (quantized coords
+        # to ~1/256, caught by tools/verify_onchip.py 2026-08-18) and even
+        # the 3-pass exact_dot repair pays K=m_pad matmuls with N=3 padded
+        # to 128 lanes — ~6× the cost of the distance scan itself at the
+        # merge shape (b32, n16384, m3072). Masked sublane reduction over
+        # the resident cloud costs the same as one extra e-pass.
         rows = jax.lax.broadcasted_iota(jnp.int32, (x2a.shape[0], best_i.shape[1]), 0)
-        onehot = (rows == best_i[...]).astype(jnp.float32)  # (m_pad, TILE_N)
-        nn = onehot_select(
-            onehot, x2a, dimension_numbers=(((0,), (0,)), ((), ()))
-        )  # (TILE_N, 3)
-        nn_ref[0] = jnp.pad(nn, ((0, 0), (0, nn_ref.shape[2] - 3)))
+        onehot = rows == best_i[...]  # (m_pad, TILE_N) bool
+        nn_t = jnp.concatenate(
+            [
+                jnp.sum(jnp.where(onehot, x2a[:, c : c + 1], 0.0), axis=0, keepdims=True)
+                for c in range(3)
+            ],
+            axis=0,
+        )  # (3, TILE_N) coordinate-major
+        nn_ref[0] = jnp.pad(nn_t, ((0, nn_ref.shape[1] - 3), (0, 0)))
 
     return kernel
 
@@ -185,13 +191,16 @@ def nn_coords_pallas(xyz1: jax.Array, xyz2: jax.Array):
             pl.BlockSpec(
                 (1, 8, tile_n), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM
             ),
+            # coords come out coordinate-major (8-row sublane band, rows 0-2
+            # real) — the natural layout of the per-coordinate masked sums;
+            # the caller transposes the (b, 3, n) slice back to point-major
             pl.BlockSpec(
-                (1, tile_n, 8), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM
+                (1, 8, tile_n), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 8, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, n_pad), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, tile_n), jnp.float32),
@@ -206,7 +215,7 @@ def nn_coords_pallas(xyz1: jax.Array, xyz2: jax.Array):
             transcendentals=0,
         ),
     )(x1t, x2)
-    return dist[:, 0, :n], nn[:, :n, :3]
+    return dist[:, 0, :n], nn[:, :3, :n].transpose(0, 2, 1)
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -8,8 +8,14 @@ are 0.0/1.0), so only the payload needs splitting: an fp32 value is the
 exact sum of three non-overlapping bf16 parts (8+8+8 ≥ 24 mantissa bits),
 each product against the 0/1 mask is exact, and fp32 accumulation of
 non-overlapping parts is exact. Three default-precision bf16 matmuls —
-half the HIGHEST cost (measured: HIGHEST added +11 ms to the b32 forward
-via the merge recovery; this path gives the same bits back for ~half).
+half the HIGHEST cost (HIGHEST splits BOTH operands 3-way ≈ 6 passes).
+
+Used by the banded chamfer backward (ops/pallas/nn_grad.py), whose payload
+is 4 full gradient rows; on-chip validated 2026-08-18 (grad err 1e-6 vs XLA
+autodiff, was 2.6e-4 at default precision). For NARROW payloads the MXU is
+the wrong tool entirely — the merge-coords recovery (N=3, padded to 128
+lanes) uses a per-coordinate VPU masked sublane sum instead, exact in one
+pass (ops/pallas/chamfer.py `_make_coords_kernel`).
 """
 
 from __future__ import annotations

@@ -54,14 +54,16 @@ def main():
     total = timeit("FULL forward", jax.jit(lambda x: state.apply_fn(state.params, x).out4), pc)
 
     timeit("fps 32-of-3000", jax.jit(lambda x: farthest_point_sample(32, x)), pc)
+    # step=0 picks the first per-step bias table (StepDense; the recurrent
+    # kernels are shared, so stage cost is step-independent)
     timeit(
         "encode_cell @3000",
-        jax.jit(lambda x, s: RFNet().bind(state.params).cell(x, s)),
+        jax.jit(lambda x, s: RFNet().bind(state.params).cell(x, s, 0)),
         pc, code,
     )
     timeit(
         "encode_cell @4024",
-        jax.jit(lambda x, s: RFNet().bind(state.params).cell(x, s)),
+        jax.jit(lambda x, s: RFNet().bind(state.params).cell(x, s, 0)),
         jnp.concatenate([pc, pts2], axis=1), code,
     )
     timeit(
@@ -70,12 +72,12 @@ def main():
     )
     timeit(
         "decode 64->1024",
-        jax.jit(lambda c, ce, s: RFNet().bind(state.params).decode(c, ce, s)),
+        jax.jit(lambda c, ce, s: RFNet().bind(state.params).decode(c, ce, s, 0)),
         code, pts1, st1,
     )
     timeit(
         "decode 1024->16384",
-        jax.jit(lambda c, ce, s: RFNet().bind(state.params).decode(c, ce, s)),
+        jax.jit(lambda c, ce, s: RFNet().bind(state.params).decode(c, ce, s, 1)),
         code, pts2, st2,
     )
     timeit("merge @64", jax.jit(lambda a, b: merge_layer(a, b, decf)), pc, pts1)

@@ -74,11 +74,14 @@ def _clouds(rng, shape, kind):
 
 
 class Sweep:
-    def __init__(self):
+    def __init__(self, only=None):
         self.results = {}
         self.ok = True
+        self.only = only  # list of substrings; None = run everything
 
     def run(self, name, fn):
+        if self.only is not None and not any(s in name for s in self.only):
+            return
         t0 = time.perf_counter()
         try:
             detail = fn() or {}
@@ -100,6 +103,9 @@ def main() -> int:
     ap.add_argument("--tiny", action="store_true",
                     help="toy shapes + Pallas interpret mode (no-TPU smoke)")
     ap.add_argument("--out", default=_os.path.join(REPO, "ONCHIP_VALIDATION.json"))
+    ap.add_argument("--only", default=None,
+                    help="comma-separated check-name substrings to run; a "
+                         "partial sweep never writes the artifact")
     args = ap.parse_args()
 
     if args.tiny:
@@ -139,7 +145,7 @@ def main() -> int:
     from rfnet_tpu.ops import chamfer as chamfer_mod
 
     rng = np.random.RandomState(20260818)
-    sweep = Sweep()
+    sweep = Sweep(only=args.only.split(",") if args.only else None)
     # every check below runs inside this context: Pallas interpret mode on
     # CPU (--tiny logic smoke), a no-op on the real chip
     interpret.__enter__()
@@ -393,7 +399,7 @@ def main() -> int:
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "checks": sweep.results,
     }
-    if on_tpu:
+    if on_tpu and args.only is None:
         with open(args.out, "w") as f:
             json.dump(artifact, f, indent=1)
         print(f"wrote {args.out}", flush=True)
