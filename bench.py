@@ -31,7 +31,7 @@ def _load_trained(state):
     root = os.path.dirname(os.path.abspath(__file__))
     candidates = ["./bestrecord", "./modelvv_recon"] + [
         os.path.join(root, r, d)
-        for r in ("run_r3c", "run_r3_online", "run_r3", ".")
+        for r in ("run_r4", "run_r3c", "run_r3_online", "run_r3", ".")
         for d in ("bestrecord", "modelvv_recon")
     ]
     for d in candidates:

@@ -73,6 +73,12 @@ class TrainConfig:
     # shorter than the reference's 300k steps (1.0 = exact reference parity;
     # 0.1 → LR boundaries 5k/10k/15k/20k for a 30k-step run)
     schedule_scale: float = 1.0
+    # per-weight TensorBoard histograms (the reference's tf.summary.histogram
+    # per variable, vv_recon.py:36,42). OFF by default: emitting them reads
+    # every parameter back to host each log step — on a relay-attached host
+    # each readback is a blocking round trip, a hidden stall the step-rate
+    # numbers would silently include. Scalars are always written.
+    tb_histograms: bool = False
 
 
 class TrainState(train_state.TrainState):
@@ -470,16 +476,18 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
                         for k, v in lb_host._asdict().items():
                             tf.summary.scalar(f"loss/{k}", v)
                         tf.summary.scalar("throughput/clouds_per_sec", rate)
-                        # per-weight/bias histograms at the same 500-step cadence
-                        # the reference merges its tf.summary.histogram calls
-                        # (vv_recon.py:36,42,432-434)
-                        for path, leaf in jax.tree_util.tree_flatten_with_path(
-                            state.params
-                        )[0]:
-                            name = jax.tree_util.keystr(path).strip("[]").replace(
-                                "']['", "/"
-                            ).strip("'")
-                            tf.summary.histogram(name, np.asarray(leaf))
+                        if config.tb_histograms:
+                            # per-weight/bias histograms at the same 500-step
+                            # cadence the reference merges its
+                            # tf.summary.histogram calls
+                            # (vv_recon.py:36,42,432-434)
+                            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                                state.params
+                            )[0]:
+                                name = jax.tree_util.keystr(path).strip(
+                                    "[]"
+                                ).replace("']['", "/").strip("'")
+                                tf.summary.histogram(name, np.asarray(leaf))
             if (i + 1) % config.ckpt_every == 0:
                 mgr.save(i + 1, args=ocp.args.StandardSave(state))
                 mgr.wait_until_finished()
@@ -594,6 +602,12 @@ def main(argv=None):
         "(also triggered by JAX_COORDINATOR_ADDRESS / RFNET_DISTRIBUTED=1); "
         "implies --mesh",
     )
+    p.add_argument(
+        "--tb_histograms", action="store_true",
+        help="also write per-weight TensorBoard histograms every log step "
+        "(reference parity, vv_recon.py:36,42) — reads every param back to "
+        "host per log; off by default on relay-attached hosts",
+    )
     p.add_argument("--profile_dir", default=None, help="write a jax profiler trace here")
     p.add_argument(
         "--debug_nans", action="store_true",
@@ -623,6 +637,8 @@ def main(argv=None):
         if args.schedule_scale <= 0:
             p.error("--schedule_scale must be > 0")
         config = dataclasses.replace(config, schedule_scale=args.schedule_scale)
+    if args.tb_histograms:
+        config = dataclasses.replace(config, tb_histograms=True)
 
     # per-host input pipeline: each process loads a DISJOINT 1/num_shards of
     # the data at 1/num_shards of the global batch size; shard_batch glues
