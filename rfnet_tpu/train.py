@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax.training import train_state
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from rfnet_tpu import losses
 from rfnet_tpu.models import RFNet
@@ -207,7 +208,7 @@ def ocp_abstract(x):
     return x
 
 
-def preload_device_data(train_df, config: TrainConfig):
+def preload_device_data(train_df, config: TrainConfig, mesh=None):
     """Upload the ENTIRE training set to device once; batches become
     on-device gathers driven by the dataflow's own index stream.
 
@@ -220,6 +221,13 @@ def preload_device_data(train_df, config: TrainConfig):
     entirely — the per-step upload is 32 int32 indices. On a real TPU host
     this is still a win (no per-step DMA), at the cost of HBM residency
     (~950 MB for the 4096-sample synthetic set vs 16 GB HBM).
+
+    With a mesh the resident set is SHARDED over the dp axis along the
+    sample dimension (padded to a multiple of the mesh size; pad rows are
+    never indexed) — residency per chip scales as N/D, so a mesh extends the
+    dataset sizes this mode can hold, the multi-chip analogue of the single
+    -chip HBM residency trade. Batches are then assembled by the shard_map
+    psum-gather in `_make_resident_gather`.
 
     Returns (partials_dev (N, innum, 3), gts_dev (N, ptnum, 3), index_iter).
     """
@@ -236,9 +244,53 @@ def preload_device_data(train_df, config: TrainConfig):
             )
         parts.append(resample_pcd(partial, config.innum))
         gts.append(resample_pcd(gt, config.ptnum))
-    partials_dev = jax.device_put(np.stack(parts).astype(np.float32))
-    gts_dev = jax.device_put(np.stack(gts).astype(np.float32))
+    parts_np = np.stack(parts).astype(np.float32)
+    gts_np = np.stack(gts).astype(np.float32)
+    if mesh is None:
+        return jax.device_put(parts_np), jax.device_put(gts_np), train_df._index_stream()
+    n_dev = mesh.devices.size
+    pad = (-parts_np.shape[0]) % n_dev
+    if pad:
+        # pad rows (repeat of row 0 so FPS precompute sees real geometry)
+        # are never produced by the index stream — only real rows gather
+        parts_np = np.concatenate([parts_np, np.repeat(parts_np[:1], pad, 0)])
+        gts_np = np.concatenate([gts_np, np.repeat(gts_np[:1], pad, 0)])
+    spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+    partials_dev = jax.device_put(parts_np, spec)
+    gts_dev = jax.device_put(gts_np, spec)
     return partials_dev, gts_dev, train_df._index_stream()
+
+
+def _make_resident_gather(mesh):
+    """On-mesh batch gather from a sample-sharded resident array.
+
+    Each device takes the requested rows that live in ITS shard (masked
+    clipped take — no dynamic shapes), zeros elsewhere, and one `psum` over
+    the dp axis assembles the full batch on every device. The psum adds each
+    real row to D−1 exact fp32 zeros, so the result is BIT-identical to a
+    single-device `jnp.take` (pinned by tests/test_fastpaths_mesh.py). A
+    one-hot matmul gather would be simpler but rides the MXU, which
+    truncates fp32 operands to bf16 (CLAUDE.md) — this stays on gather/VPU.
+    Communication: one B-row psum (~2.6 MB at b32) per step over ICI.
+    """
+    dp = mesh.axis_names[0]
+
+    def local(res, idx):
+        shard_n = res.shape[0]  # static: local shard row count
+        lo = jax.lax.axis_index(dp) * shard_n
+        rel = idx - lo
+        inb = (rel >= 0) & (rel < shard_n)
+        rows = jnp.take(res, jnp.clip(rel, 0, shard_n - 1), axis=0)
+        mask = inb.reshape(inb.shape + (1,) * (rows.ndim - 1))
+        return jax.lax.psum(jnp.where(mask, rows, 0.0), dp)
+
+    def gather(res, idx):
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(P(dp), P()), out_specs=P(),
+            check_vma=False,  # psum output is replicated by construction
+        )(res, idx)
+
+    return gather
 
 
 def _precompute_pyramids(gts_dev: jax.Array, n1: int, n2: int, chunk: int = 64):
@@ -314,14 +366,18 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
         # is ONE dispatch — on the relay every dispatch blocks the host
         # ~4 ms, and the separate generator dispatch measured at that cost.
         # The stream is a pure function of (seed, step): bit-identical to
-        # data/online.batch_stream and stable across resumes.
-        if mesh is not None:
-            raise ValueError("--synthetic_online is single-process/non-mesh for now")
+        # data/online.batch_stream and stable across resumes. Under a mesh
+        # the generated batch is dp-sharded via a sharding constraint inside
+        # the SAME jitted program — GSPMD partitions the per-row generation
+        # and the gradient all-reduce like the streamed mesh path; no host
+        # bytes move regardless of process count, so this composes with
+        # multi-host too (each process runs the identical program).
         from rfnet_tpu.data.online import synthetic_batch
 
         base_key = jax.random.PRNGKey(config.seed)
         n1 = 2 * config.n_seed
         n2 = n1 * config.up_ratio
+        data_shd = data_sharding(mesh) if mesh is not None else None
 
         def online_step(state):
             # key the fold on the DEVICE-RESIDENT state.step (== the loop
@@ -334,34 +390,91 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
                 jax.random.fold_in(base_key, state.step),
                 config.batch_size, config.innum, config.ptnum,
             )
+            if data_shd is not None:
+                partial = jax.lax.with_sharding_constraint(partial, data_shd)
+                gt = jax.lax.with_sharding_constraint(gt, data_shd)
             return train_step(
                 state, partial, gt, n1=n1, n2=n2,
                 schedule_scale=config.schedule_scale,
             )
 
-        jstep = jax.jit(online_step, donate_argnums=0)
+        if mesh is None:
+            jstep = jax.jit(online_step, donate_argnums=0)
+        else:
+            repl = replicated(mesh)
+            jstep = jax.jit(
+                online_step, in_shardings=(repl,),
+                out_shardings=(repl, repl, repl), donate_argnums=0,
+            )
         fetch = tuple  # staged is always the (empty) extra-args tuple
         staged = fetch()
         stage_stop = None
     elif preload_device:
-        if mesh is not None:
-            raise ValueError("--preload_device is single-process/non-mesh for now")
-        partials_dev, gts_dev, index_iter = preload_device_data(train_df, config)
+        if jax.process_count() > 1:
+            # each process's dataflow holds a DISJOINT 1/P shard and its own
+            # index stream — the global epoch permutation the single-host
+            # path replays does not decompose; use --synthetic_online (fully
+            # in-jit) for multi-host fast-path runs
+            raise ValueError("--preload_device is single-host (any mesh size); "
+                             "multi-host fast path is --synthetic_online")
+        partials_dev, gts_dev, index_iter = preload_device_data(
+            train_df, config, mesh
+        )
         # FPS pyramids once for the whole resident set (deterministic per
         # row ⇒ bit-identical to the on-step recompute, train_step_pyr),
         # then each batch gathers its 4 arrays — saves the ~10 ms/step FPS
         n1 = 2 * config.n_seed
         n2 = n1 * config.up_ratio
-        gt1_dev, gt2_dev = _precompute_pyramids(gts_dev, n1, n2)
-        jstep = jax.jit(
-            functools.partial(train_step_pyr, schedule_scale=config.schedule_scale),
-            donate_argnums=0,
-        )
+        if mesh is None:
+            gt1_dev, gt2_dev = _precompute_pyramids(gts_dev, n1, n2)
+            jstep = jax.jit(
+                functools.partial(
+                    train_step_pyr, schedule_scale=config.schedule_scale
+                ),
+                donate_argnums=0,
+            )
 
-        @jax.jit
-        def gather_batch(parts, gts, g1, g2, idx):
-            take = functools.partial(jnp.take, indices=idx, axis=0)
-            return take(parts), take(gts), take(g1), take(g2)
+            @jax.jit
+            def gather_batch(parts, gts, g1, g2, idx):
+                take = functools.partial(jnp.take, indices=idx, axis=0)
+                return take(parts), take(gts), take(g1), take(g2)
+
+            to_idx = jnp.asarray
+        else:
+            # pyramids per shard (FPS is per-row; _precompute_pyramids is
+            # pure jnp, so it traces inside shard_map) — stays sharded like
+            # the resident set it derives from
+            dp = mesh.axis_names[0]
+            gt1_dev, gt2_dev = jax.jit(
+                jax.shard_map(
+                    functools.partial(_precompute_pyramids, n1=n1, n2=n2),
+                    mesh=mesh, in_specs=P(dp), out_specs=(P(dp), P(dp)),
+                    # FPS's scan carry starts from unvarying constants; vma
+                    # tracking would demand pcasts inside ops/fps for what
+                    # is plainly per-row local work
+                    check_vma=False,
+                )
+            )(gts_dev)
+            repl = replicated(mesh)
+            data_shd = data_sharding(mesh)
+            jstep = jax.jit(
+                functools.partial(
+                    train_step_pyr, schedule_scale=config.schedule_scale
+                ),
+                in_shardings=(repl, data_shd, data_shd, data_shd, data_shd),
+                out_shardings=(repl, repl, repl),
+                donate_argnums=0,
+            )
+            mesh_gather = _make_resident_gather(mesh)
+
+            @functools.partial(
+                jax.jit, out_shardings=(data_shd, data_shd, data_shd, data_shd)
+            )
+            def gather_batch(parts, gts, g1, g2, idx):
+                take = functools.partial(mesh_gather, idx=idx)
+                return take(parts), take(gts), take(g1), take(g2)
+
+            to_idx = functools.partial(jax.device_put, device=repl)
 
         def fetch():
             idx = np.fromiter(
@@ -369,7 +482,7 @@ def train(config: TrainConfig, train_df, valid_df, valid_num: int, use_mesh=Fals
                 dtype=np.int32, count=config.batch_size,
             )
             return gather_batch(
-                partials_dev, gts_dev, gt1_dev, gt2_dev, jnp.asarray(idx)
+                partials_dev, gts_dev, gt1_dev, gt2_dev, to_idx(idx)
             )
 
         staged = fetch()
@@ -578,13 +691,16 @@ def main(argv=None):
         help="infinite on-device synthetic stream (data/online.py): batches "
         "are generated inside jit from a step-indexed key fold — no "
         "host->device transfer, no finite set to overfit; eval uses the "
-        "held-out seed-1234 synthetic set",
+        "held-out seed-1234 synthetic set; composes with --mesh and "
+        "--distributed (generation dp-shards inside the step program)",
     )
     p.add_argument(
         "--preload_device", action="store_true",
         help="upload the whole training set to device HBM once and gather "
         "batches on-device (removes the per-step host->device copy; "
-        "requires partials >= innum points, e.g. --synthetic)",
+        "requires partials >= innum points, e.g. --synthetic); composes "
+        "with --mesh (resident set sharded over the mesh, psum-gather "
+        "batches); single-host only",
     )
     p.add_argument(
         "--schedule_scale", type=float, default=None,
