@@ -143,6 +143,26 @@ def main():
     except Exception as e:  # the headline metric must always print
         breakdown = {"error": repr(e)[:200]}
     breakdown["fwd_b64_ms"] = round(dt / iters * 1e3, 2)
+    # MFU grounding (VERDICT r3 item 4): tie clouds/s to hardware peak via
+    # XLA's own cost model for the compiled forward. Peak basis: v5e MXU is
+    # 197 TFLOP/s bf16 per chip, and the default-precision fp32 matmul path
+    # TRUNCATES operands to bf16 in a single MXU pass (CLAUDE.md kernel
+    # facts), so 197 is the honest ceiling for this program. Note the
+    # forward is gather/VPU-heavy by design (FPS, grouping, merge), so its
+    # MFU is bounded well below dense-matmul workloads; the Pallas
+    # while-loop distance kernels are data-dependent and excluded from XLA's
+    # static count (documented in README perf table).
+    try:
+        ca = jax.jit(forward).lower(state.params, partial).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            achieved = flops * iters / dt / 1e12
+            breakdown["fwd_gflops_per_cloud"] = round(flops / batch / 1e9, 3)
+            breakdown["achieved_tflops"] = round(achieved, 3)
+            breakdown["mfu_vs_v5e_bf16_peak197"] = round(achieved / 197.0, 5)
+    except Exception as e:
+        breakdown["mfu_error"] = repr(e)[:120]
 
     print(
         json.dumps(
