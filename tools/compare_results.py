@@ -38,7 +38,12 @@ def means(rows):
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    tol = 1.0  # percent — the BASELINE.md "CD within 1%" parity band
+    if "--tolerance" in argv:
+        i = argv.index("--tolerance")
+        tol = float(argv[i + 1])
+        del argv[i : i + 2]
     if len(argv) != 2:
         print(__doc__)
         return 1
@@ -57,10 +62,10 @@ def main(argv=None):
     d_all = 100 * (o_cd - b_cd) / b_cd
     print(f"{'ALL':>12} {o_cd:>10.6f} {b_cd:>10.6f} {d_all:>7.2f}%")
     print(f"overall fidelity('emd' col): ours {o_emd:.6f} base {b_emd:.6f}")
-    # exit code doubles as the parity gate: 0 = within the 1% band
-    # (BASELINE.md north star), 2 = outside
-    print("PARITY" if abs(d_all) <= 1.0 else "OUTSIDE 1% BAND")
-    return 0 if abs(d_all) <= 1.0 else 2
+    # exit code doubles as the parity gate: 0 = within the band
+    # (default 1%, the BASELINE.md north star), 2 = outside
+    print("PARITY" if abs(d_all) <= tol else f"OUTSIDE {tol:g}% BAND")
+    return 0 if abs(d_all) <= tol else 2
 
 
 if __name__ == "__main__":
