@@ -41,7 +41,8 @@ from jax import export as jexport
 
 
 def export_forward(state, batch_size: int | None, innum: int,
-                   platforms: tuple[str, ...] | None = None):
+                   platforms: tuple[str, ...] | None = None,
+                   disabled_checks: tuple = ()):
     """Export ``partial (b, innum, 3) -> completion (b, ptnum, 3)``.
 
     Params are closed over (baked into the module as constants): the
@@ -64,7 +65,25 @@ def export_forward(state, batch_size: int | None, innum: int,
     else:
         b = batch_size
     spec = jax.ShapeDtypeStruct((b, innum, 3), jnp.float32)
-    return jexport.export(jax.jit(forward), platforms=platforms)(spec)
+    try:
+        return jexport.export(
+            jax.jit(forward), platforms=platforms,
+            disabled_checks=list(disabled_checks),
+        )(spec)
+    except ValueError as e:
+        if "custom_call" not in str(e) or disabled_checks:
+            raise
+        # A TPU-attached export embeds the Pallas kernels as
+        # `tpu_custom_call`s; jax.export refuses custom calls without a
+        # cross-version stability guarantee unless explicitly waived. The
+        # waiver is sound HERE because the artifact pins its platform and
+        # the serialized payload is the Mosaic module itself (re-lowered by
+        # the consumer's compiler); same-release consumers round-trip
+        # bit-exact (verify_onchip `export_roundtrip` check).
+        waived = [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+        return jexport.export(
+            jax.jit(forward), platforms=platforms, disabled_checks=waived
+        )(spec)
 
 
 def save_exported(exported, path: str) -> int:

@@ -355,7 +355,112 @@ def main() -> int:
 
     sweep.run("emd_diff_value_and_grad", check_emd_diff)
 
-    # ---- 10. model forward + param golden + train steps --------------------
+    # ---- 10. auction match: noised-permutation recovery --------------------
+    def check_auction():
+        # the reference's own acceptance test (`tf_auctionmatch.py:40-50`):
+        # match a cloud against a permuted+noised copy of itself — the
+        # assignment must be a permutation that pairs each point with its
+        # noised twin (matched distance at the noise scale, not the
+        # point-spacing scale)
+        from rfnet_tpu.ops.auction import auction_match
+
+        n = 64 if args.tiny else 256
+        noise = 1e-4
+        b = 2
+        x1 = _clouds(rng, (b, n, 3), "uniform")
+        perms = np.stack([rng.permutation(n) for _ in range(b)])
+        x2 = np.take_along_axis(x1, perms[..., None], axis=1)
+        x2 = (x2 + noise * rng.randn(b, n, 3)).astype(np.float32)
+        ml, mr = jax.jit(auction_match)(jnp.asarray(x1), jnp.asarray(x2))
+        _readback(ml)
+        ml, mr = np.asarray(ml), np.asarray(mr)
+        for bi in range(b):
+            assert sorted(ml[bi]) == list(range(n)), "matchl not a permutation"
+            np.testing.assert_array_equal(mr[bi][ml[bi]], np.arange(n))
+        matched = np.take_along_axis(x2, ml[..., None], axis=1)
+        mean_d = float(np.mean(np.linalg.norm(x1 - matched, axis=-1)))
+        # perfect recovery pairs each point with its twin: mean matched
+        # distance == mean noise norm (~noise·√3·√(2/π)·… ≈ 1.6·noise)
+        assert mean_d < 5 * noise, f"mean matched dist {mean_d} >> noise"
+        recovered = float(np.mean(ml == np.argsort(perms, axis=-1)))
+        assert recovered > 0.99, f"recovered only {recovered:.1%} of the permutation"
+        return {"mean_matched_dist": mean_d, "recovered_frac": recovered}
+
+    sweep.run("auction_noised_permutation", check_auction)
+
+    # ---- 11. ball query + three_nn vs numpy oracles ------------------------
+    def check_grouping_interp():
+        from rfnet_tpu.ops.grouping import query_ball_point
+        from rfnet_tpu.ops.interpolate import three_nn
+
+        b, n, m, k, radius = 2, 128, 32, 16, 0.25
+        pts = _clouds(rng, (b, n, 3), "blobs")
+        qs = _clouds(rng, (b, m, 3), "uniform")
+        idx, cnt = jax.jit(
+            lambda a, b_: query_ball_point(radius, k, a, b_)
+        )(jnp.asarray(pts), jnp.asarray(qs))
+        _readback(cnt)
+        idx, cnt = np.asarray(idx), np.asarray(cnt)
+        d = np.sqrt(((qs[:, :, None] - pts[:, None]) ** 2).sum(-1))  # (b,m,n)
+        d = np.maximum(d, 1e-20)
+        for bi in range(b):
+            for qi in range(m):
+                hits = np.nonzero(d[bi, qi] < radius)[0]
+                c = min(len(hits), k)
+                assert cnt[bi, qi] == c, f"cnt {cnt[bi, qi]} vs {c}"
+                first = hits[0] if len(hits) else 0
+                want = list(hits[:c]) + [first] * (k - c)
+                assert list(idx[bi, qi]) == want, f"ball idx row mismatch"
+
+        dist3, idx3 = jax.jit(three_nn)(jnp.asarray(qs), jnp.asarray(pts))
+        _readback(dist3)
+        dist3, idx3 = np.asarray(dist3, np.float64), np.asarray(idx3)
+        d2 = ((qs.astype(np.float64)[:, :, None]
+               - pts.astype(np.float64)[:, None]) ** 2).sum(-1)
+        ref3 = np.sort(d2, axis=-1)[..., :3]
+        err = float(np.abs(dist3 - ref3).max())
+        assert err < 1e-5, f"three_nn dist err {err}"
+        # returned indices must realize the returned distances (tie-agnostic)
+        realized = np.take_along_axis(d2, idx3, axis=-1)
+        rerr = float(np.abs(realized - dist3).max())
+        assert rerr < 1e-5, f"three_nn idx does not realize dist ({rerr})"
+        return {"ball_rows": b * m, "three_nn_max_err": err}
+
+    sweep.run("ball_query_three_nn_vs_numpy", check_grouping_interp)
+
+    # ---- 12. StableHLO export artifact: save -> load -> run ----------------
+    def check_export_roundtrip():
+        import tempfile
+
+        from rfnet_tpu.export import export_forward, load_forward, save_exported
+        from rfnet_tpu.train import TrainConfig, create_state
+
+        if args.tiny:
+            config = TrainConfig(batch_size=2, innum=64, ptnum=128,
+                                 n_seed=4, up_ratio=4)
+        else:
+            config = TrainConfig()
+        state = create_state(config)
+        exported = export_forward(state, 2, config.innum)
+        with tempfile.TemporaryDirectory() as td:
+            path = _os.path.join(td, "rfnet.shlo")
+            nbytes = save_exported(exported, path)
+            served = load_forward(path)
+            x = jnp.asarray(_clouds(rng, (2, config.innum, 3), "uniform"))
+            y_art = served(x)
+            _readback(y_art)
+            y_live = jax.jit(
+                lambda p, a: state.apply_fn(p, a).out4
+            )(state.params, x)
+            err = float(np.abs(np.asarray(y_art) - np.asarray(y_live)).max())
+            # same trace, same backend, same compiler — bit-exact expected;
+            # the tolerance only covers compiler-version fusion skew
+            assert err < 1e-6, f"artifact vs live err {err}"
+        return {"bytes": nbytes, "max_err": err}
+
+    sweep.run("export_roundtrip", check_export_roundtrip)
+
+    # ---- 13. model forward + param golden + train steps --------------------
     def check_model_and_step():
         import functools
 
