@@ -96,7 +96,10 @@ def save_pcd(filename: str, points: np.ndarray) -> None:
     )
     with open(filename, "w") as f:
         f.write(header)
-        np.savetxt(f, pts, fmt="%.8g")
+        # 9 significant digits round-trips any finite binary32 exactly, so a
+        # save->read cycle is bit-identical in fp32 (the synthetic eval-set
+        # cross-check in tools/make_synthetic_evalset.py relies on this)
+        np.savetxt(f, pts, fmt="%.9g")
 
 
 def _lzf_decompress(data: bytes, expected: int) -> bytes:

@@ -31,7 +31,39 @@ def test_pcd_roundtrip(tmp_path, rng):
     path = os.path.join(tmp_path, "x.pcd")
     save_pcd(path, pts)
     back = read_pcd(path)
-    np.testing.assert_allclose(back, pts, rtol=1e-5, atol=1e-6)
+    # %.9g ascii is fp32-EXACT: the synthetic eval-set cross-check
+    # (tools/make_synthetic_evalset.py) relies on a bit-identical round-trip
+    np.testing.assert_array_equal(back.astype(np.float32), pts)
+    # signed / large-magnitude values round-trip exactly too
+    pts2 = (rng.randn(64, 3) * 1e3).astype(np.float32)
+    save_pcd(path, pts2)
+    np.testing.assert_array_equal(read_pcd(path).astype(np.float32), pts2)
+
+
+def test_make_synthetic_evalset_matches_dataflow(tmp_path):
+    """The eval-CLI fixture dump is bit-identical to what the training
+    evaluator's dataflow feeds — the precondition for using the eval CLI to
+    reproduce the train log's held-out CD (round-4 cross-check)."""
+    import tools.make_synthetic_evalset as mk
+
+    out = os.path.join(tmp_path, "evalset")
+    mk.main(["--out", out, "--num", "2"])
+    df, _ = synthetic_dataflow(
+        2, 2, 3000, 16384, is_training=False, seed=1234
+    )
+    _ids, inputs, _n, gts = next(iter(df))
+    with open(os.path.join(out, "test.list")) as f:
+        ids = f.read().split()
+    assert ids == ["synthetic/000000", "synthetic/000001"]
+    for j, mid in enumerate(ids):
+        part = read_pcd(
+            os.path.join(out, "data", "partial", mid + ".pcd")
+        ).astype(np.float32)
+        gt = read_pcd(
+            os.path.join(out, "data", "complete", mid + ".pcd")
+        ).astype(np.float32)
+        np.testing.assert_array_equal(part, inputs[j])
+        np.testing.assert_array_equal(gt, gts[j])
 
 
 def test_dataflow_batch_contract():
