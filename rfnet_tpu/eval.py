@@ -54,13 +54,24 @@ def load_state(checkpoint: str, config: TrainConfig):
     return restored
 
 
-def make_complete_fn(state):
-    @jax.jit
-    def complete(partial):
+def make_complete_fn(state, mesh=None):
+    """Jitted (complete, metrics) pair; with ``mesh`` the model-batch axis is
+    data-parallel over the device mesh (weights replicated, batch sharded) —
+    the aggregate-serving path: N chips complete N× the clouds per dispatch
+    with per-sample results identical to single-device
+    (tests/test_data_eval.py::test_eval_cli_mesh_matches_single)."""
+    in_shard = out_shard = None
+    if mesh is not None:
+        from rfnet_tpu.parallel import data_sharding, replicated
+
+        in_shard, repl = data_sharding(mesh), replicated(mesh)
+        out_shard = in_shard
+        state = jax.device_put(state, repl)
+
+    def _complete(partial):
         return state.apply_fn(state.params, partial).out4
 
-    @jax.jit
-    def metrics(partial, output, gt):
+    def _metrics(partial, output, gt):
         # per-sample forms of chamfer_big / fidelity_loss (identical to the
         # reference values, which are computed at batch 1); on TPU both run
         # in sorted space through the early-exit kernel — per-sample means
@@ -73,6 +84,16 @@ def make_complete_fn(state):
         emd = nn_sample_mean_one(partial, output)
         return cd, emd
 
+    if mesh is None:
+        return jax.jit(_complete), jax.jit(_metrics)
+    complete = jax.jit(
+        _complete, in_shardings=(in_shard,), out_shardings=out_shard
+    )
+    metrics = jax.jit(
+        _metrics,
+        in_shardings=(in_shard, in_shard, in_shard),
+        out_shardings=(out_shard, out_shard),
+    )
     return complete, metrics
 
 
@@ -132,7 +153,18 @@ def test(args):
     )
     state = load_state(args.checkpoint, config)
     print("trainable parameters:", count_params(state.params))
-    complete, metrics = make_complete_fn(state)
+    mesh = None
+    n_mesh = int(getattr(args, "mesh", 0) or 0)
+    if n_mesh:
+        from rfnet_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_mesh)
+        if max(1, args.batch_size) % mesh.size:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be a multiple of the "
+                f"mesh size {mesh.size}"
+            )
+    complete, metrics = make_complete_fn(state, mesh)
 
     os.makedirs(args.results_dir, exist_ok=True)
     csv_path = os.path.join(args.results_dir, "results.csv")
@@ -196,6 +228,16 @@ def test(args):
                     np.asarray(completion[j]),
                 )
 
+    if mesh is None:
+        to_dev = jnp.asarray
+    else:
+        from rfnet_tpu.parallel import data_sharding
+
+        _data = data_sharding(mesh)
+
+        def to_dev(a):
+            return jax.device_put(a, _data)
+
     load_q: _q.Queue = _q.Queue(maxsize=4)
     stop = threading.Event()
     loader = threading.Thread(
@@ -216,8 +258,8 @@ def test(args):
             # (recon_test.py:58-64); only the disk reads are overlapped
             while (item := get_item()) is not None:
                 chunk_start, chunk, pnp, gnp = item
-                pb = jnp.asarray(pnp)
-                gb = jnp.asarray(gnp)
+                pb = to_dev(pnp)
+                gb = to_dev(gnp)
                 start = time.time()
                 completion = jax.block_until_ready(complete(pb))
                 float(jnp.sum(completion))  # force real completion (CLAUDE.md)
@@ -241,9 +283,9 @@ def test(args):
                         done_loading = True
                         break
                     chunk_start, chunk, pnp, gnp = item
-                    pb = jnp.asarray(pnp)
+                    pb = to_dev(pnp)
                     completion = complete(pb)  # async dispatch
-                    cds, emds = metrics(pb, completion, jnp.asarray(gnp))
+                    cds, emds = metrics(pb, completion, to_dev(gnp))
                     pending.append(
                         (chunk_start, chunk, pnp, gnp, completion, cds, emds)
                     )
@@ -284,6 +326,12 @@ def main(argv=None):
     parser.add_argument(
         "--batch_size", type=int, default=1,
         help="models per device batch (1 = reference behaviour)",
+    )
+    parser.add_argument(
+        "--mesh", type=int, default=0,
+        help="data-parallel serving over an N-device mesh: weights "
+        "replicated, model batch sharded (batch_size must be a multiple "
+        "of N); per-sample metrics identical to single-device",
     )
     parser.add_argument(
         "--pipeline", action="store_true",

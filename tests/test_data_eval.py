@@ -296,6 +296,66 @@ def test_eval_cli_batched_matches_single(tmp_path, rng):
         eval_mod.TrainConfig = orig
 
 
+def test_eval_cli_mesh_matches_single(tmp_path, rng):
+    """--mesh N (data-parallel serving: weights replicated, model batch
+    sharded over the device mesh) produces per-model metrics identical to
+    the single-device path — the aggregate multi-chip serving story run for
+    real on the virtual 8-device mesh, not extrapolated."""
+    from rfnet_tpu import eval as eval_mod
+    from rfnet_tpu.train import TrainConfig
+
+    ids = [f"000{i // 4}/m{i}" for i in range(10)]  # non-multiple of bsz: pad path
+    for mid in ids:
+        for kind, n in [("partial", 40), ("complete", 128)]:
+            p = os.path.join(tmp_path, "data", kind, mid + ".pcd")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            save_pcd(p, rng.rand(n, 3).astype(np.float32))
+    list_path = os.path.join(tmp_path, "test.list")
+    with open(list_path, "w") as f:
+        f.write("\n".join(ids))
+
+    orig = eval_mod.TrainConfig
+    try:
+        eval_mod.TrainConfig = lambda **kw: TrainConfig(n_seed=4, up_ratio=4, **kw)
+        rows = {}
+        for tag, extra in [("single", []), ("mesh", ["--mesh", "8"])]:
+            rdir = os.path.join(tmp_path, "results_" + tag)
+            np.random.seed(0)  # resample padding draws from global np.random
+            eval_mod.main([
+                "--list_path", list_path,
+                "--data_dir", os.path.join(tmp_path, "data"),
+                "--checkpoint", os.path.join(tmp_path, "nockpt"),
+                "--results_dir", rdir,
+                "--num_gt_points", "128",
+                "--plot_freq", "1000",
+                "--batch_size", "8",
+            ] + extra)
+            rows[tag] = open(os.path.join(rdir, "results.csv")).read().splitlines()
+        assert len(rows["single"]) == len(rows["mesh"]) == len(ids) + 1
+        for r1, r2 in zip(rows["single"][1:], rows["mesh"][1:]):
+            id1, cd1, emd1 = r1.split(",")
+            id2, cd2, emd2 = r2.split(",")
+            assert id1 == id2
+            np.testing.assert_allclose(float(cd1), float(cd2), rtol=1e-5)
+            np.testing.assert_allclose(float(emd1), float(emd2), rtol=1e-5)
+    finally:
+        eval_mod.TrainConfig = orig
+
+    # batch_size not a multiple of the mesh size is a hard error
+    import pytest
+
+    with pytest.raises(SystemExit):
+        eval_mod.main([
+            "--list_path", list_path,
+            "--data_dir", os.path.join(tmp_path, "data"),
+            "--checkpoint", os.path.join(tmp_path, "nockpt"),
+            "--results_dir", os.path.join(tmp_path, "results_bad"),
+            "--num_gt_points", "128",
+            "--batch_size", "3",
+            "--mesh", "8",
+        ])
+
+
 def test_eval_cli_pipelined_matches_sync(tmp_path, rng):
     """--pipeline overlaps load/dispatch/readback but must produce the exact
     same per-model metrics and CSV ordering as the synchronous path."""
