@@ -263,6 +263,30 @@ def _component_breakdown(state, config):
     res["train_step_b32_ms"] = timed(
         lambda s, x, g: jstep(s, x, g)[1].total, state, partial, gt
     )
+    # IN-DISTRIBUTION variants: uniform-random clouds are OOD for a trained
+    # model, so its outputs don't hug the gt and the early-exit chamfer scans
+    # near worst case — the numbers above are the stress regime. A user
+    # training on the synthetic task sees THESE numbers instead (converged
+    # outputs ≈ gt ⇒ tight exit bounds; CLAUDE.md §Step-time attribution).
+    from rfnet_tpu.data.online import synthetic_batch
+
+    partial_d, gt_d = jax.jit(
+        lambda: synthetic_batch(jax.random.PRNGKey(7), b, config.innum, config.ptnum)
+    )()
+    o34d = jax.jit(
+        lambda p, x: (lambda o: (o.out3, o.out4))(state.apply_fn(p, x))
+    )(state.params, partial_d)
+    res["cd34_fb_indist_b32_ms"] = timed(
+        jax.jit(
+            lambda g, a, c: jax.grad(
+                lambda aa, cc: sum(chamfer_means_pair(g, aa, cc)), argnums=(0, 1)
+            )(a, c)
+        ),
+        gt_d, jax.lax.stop_gradient(o34d[0]), jax.lax.stop_gradient(o34d[1]),
+    )
+    res["train_step_indist_b32_ms"] = timed(
+        lambda s, x, g: jstep(s, x, g)[1].total, state, partial_d, gt_d
+    )
     return res
 
 

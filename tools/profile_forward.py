@@ -36,8 +36,17 @@ def timeit(name, fn, *args):
 
 
 def main():
+    import sys
+
     config = TrainConfig()
     state = create_state(config, RFNet())
+    if "--trained" in sys.argv:
+        # converged weights change the merge layers' reroute traffic (and
+        # nothing else in the forward is weight-data-dependent) — profile
+        # both regimes when attributing headline deltas
+        from bench import _load_trained
+
+        state = _load_trained(state)
     model = RFNet()
     rng = np.random.RandomState(0)
     pc = jnp.asarray(rng.rand(B, 3000, 3).astype(np.float32))
