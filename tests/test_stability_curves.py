@@ -52,6 +52,27 @@ def test_finite_run_is_overfit_not_instability():
     assert _window_mean(tr, slice(-5, None)) <= 0.80 * _window_mean(tr, slice(5))
 
 
+def test_round4_100k_run_full_convergence_curve():
+    """Round 4's 100k-step online-stream run (run_r4/): the long-horizon
+    capability pin. Held-out CD must decline from the early-training band
+    into a stable plateau that holds to the end — the curve the eval-CLI
+    cross-check (run_r4/results_synth/) reproduced exactly."""
+    c = _load("run_r4/curves.json")
+    evals = c["eval"]
+    assert len(evals) >= 20, "expected the full 5k-step eval cadence to 100k"
+    assert evals[-1]["step"] >= 100_000
+    cds = [r["cd"] for r in evals]
+    assert min(cds) <= 0.0234, "plateau quality regressed"
+    # plateau: every eval from 55k on sits in a tight band around the best
+    late = [r["cd"] for r in evals if r["step"] >= 55_000]
+    assert late and max(late) <= 1.03 * min(cds), "late-training instability"
+    # bounded excursion: nothing ever exceeds the first eval by >2%
+    # (the measured worst is a +1.2% bump at 35k during the high-LR phase)
+    assert max(cds) <= 1.02 * cds[0]
+    # the best checkpoint the serving cross-check used
+    assert abs(min(cds) - 0.023228) < 5e-5
+
+
 def test_online_stream_run_converges_to_plateau():
     """With no finite set to memorize, the held-out curve must be
     monotone-to-plateau: net improvement, best value beating the finite
