@@ -32,6 +32,9 @@ import subprocess
 import sys
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)  # runnable as `python tools/protocol_drive.py`
+# (the --synthetic fixture writer imports rfnet_tpu in-process; the train/
+# eval stages get PYTHONPATH through _run's subprocess env either way)
 
 
 def _run(label: str, cmd: list[str]) -> None:
