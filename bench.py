@@ -153,7 +153,9 @@ def main():
     # while-loop distance kernels are data-dependent and excluded from XLA's
     # static count (documented in README perf table).
     try:
-        ca = jax.jit(forward).lower(state.params, partial).compile().cost_analysis()
+        # lower the SAME jitted callable the throughput number came from, so
+        # the flop count describes the program actually measured
+        ca = forward.lower(state.params, partial).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get("flops", 0.0))
         if flops > 0:
@@ -212,26 +214,24 @@ def _component_breakdown(state, config):
     res["fwd_b32_ms"] = timed(
         jax.jit(lambda p, x: state.apply_fn(p, x).out4), state.params, partial
     )
-    res["cd34_fb_b32_ms"] = timed(
-        jax.jit(
-            lambda g, a, c: jax.grad(
-                lambda aa, cc: sum(chamfer_means_pair(g, aa, cc)), argnums=(0, 1)
-            )(a, c)
-        ),
-        gt, out3, out4,
+    # ONE jitted cd34 grad serves all three regimes below (same program,
+    # different data) — re-jitting per regime would re-trace and, on a cold
+    # persistent cache, re-compile through the minutes-per-shape relay
+    cd34_grad = jax.jit(
+        lambda g, a, c: jax.grad(
+            lambda aa, cc: sum(chamfer_means_pair(g, aa, cc)), argnums=(0, 1)
+        )(a, c)
     )
+    res["cd34_fb_b32_ms"] = timed(cd34_grad, gt, out3, out4)
     # same measurement on REAL model outputs: early-exit kernel cost is
     # data-dependent (random clouds understated the z-slab kernel by ~2×,
     # CLAUDE.md round-3 attribution) — this entry pins the in-training regime
-    o34 = jax.jit(lambda p, x: (lambda o: (o.out3, o.out4))(state.apply_fn(p, x)))(
-        state.params, partial
+    fwd34 = jax.jit(
+        lambda p, x: (lambda o: (o.out3, o.out4))(state.apply_fn(p, x))
     )
+    o34 = fwd34(state.params, partial)
     res["cd34_fb_real_b32_ms"] = timed(
-        jax.jit(
-            lambda g, a, c: jax.grad(
-                lambda aa, cc: sum(chamfer_means_pair(g, aa, cc)), argnums=(0, 1)
-            )(a, c)
-        ),
+        cd34_grad,
         gt, jax.lax.stop_gradient(o34[0]), jax.lax.stop_gradient(o34[1]),
     )
     res["emd_fb_b32_ms"] = timed(
@@ -273,15 +273,9 @@ def _component_breakdown(state, config):
     partial_d, gt_d = jax.jit(
         lambda: synthetic_batch(jax.random.PRNGKey(7), b, config.innum, config.ptnum)
     )()
-    o34d = jax.jit(
-        lambda p, x: (lambda o: (o.out3, o.out4))(state.apply_fn(p, x))
-    )(state.params, partial_d)
+    o34d = fwd34(state.params, partial_d)
     res["cd34_fb_indist_b32_ms"] = timed(
-        jax.jit(
-            lambda g, a, c: jax.grad(
-                lambda aa, cc: sum(chamfer_means_pair(g, aa, cc)), argnums=(0, 1)
-            )(a, c)
-        ),
+        cd34_grad,
         gt_d, jax.lax.stop_gradient(o34d[0]), jax.lax.stop_gradient(o34d[1]),
     )
     res["train_step_indist_b32_ms"] = timed(

@@ -38,17 +38,19 @@ def means(rows):
 
 
 def main(argv=None):
-    argv = list(argv if argv is not None else sys.argv[1:])
-    tol = 1.0  # percent — the BASELINE.md "CD within 1%" parity band
-    if "--tolerance" in argv:
-        i = argv.index("--tolerance")
-        tol = float(argv[i + 1])
-        del argv[i : i + 2]
-    if len(argv) != 2:
-        print(__doc__)
-        return 1
-    ours = load(argv[0])
-    base = load(argv[1])
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    p.add_argument("ours")
+    p.add_argument("baseline")
+    p.add_argument(
+        "--tolerance", type=float, default=1.0,
+        help="parity band in PERCENT (default: the BASELINE.md 1%% band)",
+    )
+    args = p.parse_args(argv)
+    tol = args.tolerance
+    ours = load(args.ours)
+    base = load(args.baseline)
     common = set(ours) & set(base)
     print(f"models: ours {len(ours)}, baseline {len(base)}, common {len(common)}")
     o_cat, o_cd, o_emd = means(ours)

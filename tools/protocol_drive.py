@@ -85,8 +85,10 @@ def main(argv=None):
                     "--val_path", args.val_path]
         cmd += args.train_extra
         _run("train", cmd)
-        if not os.path.isdir(best_dir):
-            sys.exit(f"[protocol_drive] no best checkpoint at {best_dir}")
+    if not os.path.isdir(best_dir):
+        # checked for --skip_train too: a clear message beats the orbax
+        # restore stack trace the eval subprocess would raise minutes later
+        sys.exit(f"[protocol_drive] no best checkpoint at {best_dir}")
 
     cmd = py + ["rfnet_tpu.eval", "--checkpoint", best_dir,
                 "--results_dir", args.results_dir]
