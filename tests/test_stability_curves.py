@@ -73,6 +73,41 @@ def test_round4_100k_run_full_convergence_curve():
     assert abs(min(cds) - 0.023228) < 5e-5
 
 
+def test_round4_continuation_deterministic_resume_and_new_best():
+    """The round-4 continuation (run_r4/drive3.sh) resumed from the
+    committed step-95000 best checkpoint after a box restart wiped the
+    workdir, replayed 95k->100k (synthetic_online batches are keyed on
+    state.step), and trained on into the final-LR phase. Two pins:
+
+      1. DETERMINISM: the replayed segment reproduces the original run —
+         the 100k held-out eval and every overlapping 500-step train-CD
+         window are identical in both committed artifacts.
+      2. CONTINUED IMPROVEMENT: the extension found a new best
+         (0.023168 @ 105k < 0.023228 @ 95k) while staying inside the
+         plateau band — more final-phase steps still help, mirroring the
+         reference's 230k-step regime.
+    """
+    base = _load("run_r4/curves.json")
+    merged = _load("run_r4/curves_150k.json")
+    b_eval = {r["step"]: (r["cd"], r["emd"]) for r in base["eval"]}
+    m_eval = {r["step"]: (r["cd"], r["emd"]) for r in merged["eval"]}
+    # determinism: the replayed 100k eval matches the original exactly
+    assert m_eval[100_000] == b_eval[100_000]
+    # overlapping train-CD windows identical (the replay covers >= 5 of them)
+    b_tr = {r["step"]: r["cd"] for r in base["train_cd"]}
+    m_tr = {r["step"]: r["cd"] for r in merged["train_cd"]}
+    common = [s for s in m_tr if s in b_tr and 95_000 < s <= 100_000]
+    assert len(common) >= 5
+    assert all(m_tr[s] == b_tr[s] for s in common)
+    # the extension's evals extend the curve and stay in the plateau band
+    assert max(m_eval) >= 105_000
+    cds = [cd for cd, _ in m_eval.values()]
+    best = min(cds)
+    assert best <= 0.023228 - 5e-5, "extension should find a new best"
+    late = [cd for s, (cd, _) in m_eval.items() if s >= 55_000]
+    assert max(late) <= 1.03 * best, "late-training instability"
+
+
 def test_online_stream_run_converges_to_plateau():
     """With no finite set to memorize, the held-out curve must be
     monotone-to-plateau: net improvement, best value beating the finite
