@@ -104,9 +104,20 @@ def _auction_single(x1: jax.Array, x2: jax.Array, max_rounds: int):
 
 
 def auction_match(xyz1: jax.Array, xyz2: jax.Array, max_rounds: int = 8192):
-    """(b, n, 3) × (b, n, 3) -> (matchl (b, n), matchr (b, n)) int32."""
+    """(b, n, 3) × (b, n, 3) -> (matchl (b, n), matchr (b, n)) int32.
+
+    Contract = the reference op's input checks (`tf_auctionmatch.cpp:37-41`):
+    both clouds (b, n, 3) with the SAME n, and n ≤ 4096 (the CUDA kernel's
+    shared-memory price/bid arrays cap; our dense Jacobi rounds have no such
+    hardware limit, but the cap is enforced for drop-in contract parity —
+    validated and timed on-chip at the 4096² ceiling by verify_onchip)."""
     if xyz1.shape != xyz2.shape:
         raise ValueError("auction_match requires equal-size clouds (n == m)")
+    if xyz1.shape[1] > 4096:
+        raise ValueError(
+            "auction_match supports at most 4096 points "
+            "(reference contract, tf_auctionmatch.cpp:37-41)"
+        )
     xyz1 = lax.stop_gradient(xyz1.astype(jnp.float32))
     xyz2 = lax.stop_gradient(xyz2.astype(jnp.float32))
     return jax.vmap(lambda a, b: _auction_single(a, b, max_rounds))(xyz1, xyz2)

@@ -205,6 +205,17 @@ def test_auction_cutoff_yields_permutations(rng):
         np.testing.assert_array_equal(matchr[b][matchl[b]], np.arange(n))
 
 
+def test_auction_input_contract():
+    """The reference op's input checks (`tf_auctionmatch.cpp:37-41`): equal
+    sizes and n ≤ 4096; both violations must raise before tracing."""
+    import pytest
+
+    with pytest.raises(ValueError, match="equal-size"):
+        auction_match(jnp.zeros((1, 8, 3)), jnp.zeros((1, 9, 3)))
+    with pytest.raises(ValueError, match="4096"):
+        auction_match(jnp.zeros((1, 4097, 3)), jnp.zeros((1, 4097, 3)))
+
+
 def test_emd_func_api_parity(rng):
     """emd_func (vv_recon.py:365-380): radius-normalised auction EMD."""
     from rfnet_tpu.losses import emd_func

@@ -1,7 +1,9 @@
 """REAL multi-process data parallelism (VERDICT r2 #2, SURVEY §2.3).
 
-Spawns two OS processes that form one JAX distributed system over localhost
-(the CPU stand-in for a 2-host TPU pod slice: `jax.distributed.initialize`
+Spawns two OS processes with FOUR virtual devices each — the v5e-16
+topology shape (2 hosts x N chips), scaled to what one CPU core can compile —
+forming one JAX distributed system over localhost
+(`jax.distributed.initialize`
 via the env-gated bootstrap, a global mesh spanning both processes'
 devices, per-process batch shards assembled into global arrays with
 `shard_batch`, and the jitted dp train step running collectively). The
@@ -22,11 +24,12 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
-# force EXACTLY 2 local devices (replace any inherited count, e.g. the
+# force EXACTLY N local devices (replace any inherited count, e.g. the
 # 8-device flag tests/conftest.py exports)
+_local = int(os.environ["RFNET_LOCAL_DEVICES"])
 flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
          if "xla_force_host_platform_device_count" not in f]
-flags.append("--xla_force_host_platform_device_count=2")
+flags.append(f"--xla_force_host_platform_device_count={_local}")
 os.environ["XLA_FLAGS"] = " ".join(flags)
 os.environ["RFNET_JAX_CACHE"] = "off"
 sys.path.insert(0, os.environ["RFNET_REPO"])
@@ -41,17 +44,18 @@ from rfnet_tpu.train import TrainConfig, create_state, make_jitted_steps
 assert maybe_initialize_distributed() is True, "env-gated init did not fire"
 pi, pc = jax.process_index(), jax.process_count()
 assert pc == 2, f"expected 2 processes, got {pc}"
-assert jax.device_count() == 4, f"expected 4 global devices, got {jax.device_count()}"
+_glob = 2 * _local
+assert jax.device_count() == _glob, f"expected {_glob} global devices, got {jax.device_count()}"
 
-config = TrainConfig(batch_size=4, innum=64, ptnum=128, n_seed=4, up_ratio=4)
-mesh = make_mesh()  # all 4 global devices
+config = TrainConfig(batch_size=_glob, innum=64, ptnum=128, n_seed=4, up_ratio=4)
+mesh = make_mesh()  # all global devices, spanning both processes
 state = create_state(config)  # same seed on every process -> identical params
 jstep, jeval = make_jitted_steps(config, mesh)
 
 rng = np.random.RandomState(0)
 gt = rng.rand(config.batch_size, config.ptnum, 3).astype(np.float32)
 partial = gt[:, : config.innum]
-lo, hi = pi * 2, (pi + 1) * 2  # this process's rows of the global batch
+lo, hi = pi * _local, (pi + 1) * _local  # this process's rows of the global batch
 partial_l, gt_l = shard_batch((partial[lo:hi], gt[lo:hi]), mesh)
 assert partial_l.shape == (config.batch_size, config.innum, 3)  # GLOBAL shape
 state, lb, _ = jstep(state, partial_l, gt_l)
@@ -68,6 +72,10 @@ def _free_port():
 
 
 def test_two_process_dp_matches_single_process(tmp_path):
+    """2 processes x 4 virtual devices each (VERDICT r4 item 6): a
+    process-SPANNING mesh where each process holds several devices — the
+    real v5e-16 layout (2 hosts x 8 chips) scaled to CPU-compile size."""
+    local_devices = 4
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -78,6 +86,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
             JAX_PROCESS_ID=str(pid),
             RFNET_REPO=_REPO,
             JAX_PLATFORMS="cpu",
+            RFNET_LOCAL_DEVICES=str(local_devices),
         )
         procs.append(
             subprocess.Popen(
@@ -106,7 +115,9 @@ def test_two_process_dp_matches_single_process(tmp_path):
 
     from rfnet_tpu.train import TrainConfig, create_state, make_jitted_steps
 
-    config = TrainConfig(batch_size=4, innum=64, ptnum=128, n_seed=4, up_ratio=4)
+    config = TrainConfig(
+        batch_size=2 * local_devices, innum=64, ptnum=128, n_seed=4, up_ratio=4
+    )
     state = create_state(config)
     jstep, _ = make_jitted_steps(config, mesh=None)
     rng = np.random.RandomState(0)

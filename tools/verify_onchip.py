@@ -388,6 +388,48 @@ def main() -> int:
 
     sweep.run("auction_noised_permutation", check_auction)
 
+    # ---- 10b. auction at the reference contract ceiling (4096²) ------------
+    def check_auction_4096():
+        # VERDICT r4 item 7: the reference op rejects n > 4096
+        # (`tf_auctionmatch.cpp:37-41`); enforce the same contract and time
+        # the op AT that ceiling — the shape the reference can maximally run.
+        import time as _time
+
+        from rfnet_tpu.ops.auction import auction_match
+
+        n = 128 if args.tiny else 4096
+        try:
+            auction_match(jnp.zeros((1, 4097, 3)), jnp.zeros((1, 4097, 3)))
+            raise AssertionError("n>4096 not rejected")
+        except ValueError:
+            pass
+        try:
+            auction_match(jnp.zeros((1, 64, 3)), jnp.zeros((1, 65, 3)))
+            raise AssertionError("n != m not rejected")
+        except ValueError:
+            pass
+        x1 = _clouds(rng, (1, n, 3), "uniform")
+        perm = rng.permutation(n)[None]
+        x2 = (
+            np.take_along_axis(x1, perm[..., None], axis=1)
+            + 1e-4 * rng.randn(1, n, 3)
+        ).astype(np.float32)
+        fn = jax.jit(auction_match)
+        ml, _ = fn(jnp.asarray(x1), jnp.asarray(x2))  # compile
+        _readback(ml)
+        t0 = _time.perf_counter()
+        ml, mr = fn(jnp.asarray(x1), jnp.asarray(x2))
+        _readback(ml)
+        ms = (_time.perf_counter() - t0) * 1e3
+        ml = np.asarray(ml)
+        assert sorted(ml[0]) == list(range(n)), "matchl not a permutation"
+        matched = np.take_along_axis(x2, ml[..., None], axis=1)
+        mean_d = float(np.mean(np.linalg.norm(x1 - matched, axis=-1)))
+        assert mean_d < 5e-4, f"mean matched dist {mean_d} >> noise"
+        return {"n": n, "ms": round(ms, 1), "mean_matched_dist": mean_d}
+
+    sweep.run("auction_4096_contract_timing", check_auction_4096)
+
     # ---- 11. ball query + three_nn vs numpy oracles ------------------------
     def check_grouping_interp():
         from rfnet_tpu.ops.grouping import query_ball_point
