@@ -94,8 +94,11 @@ class Sweep:
         self.results[name] = entry
         self.ok &= entry["ok"]
         status = "PASS" if entry["ok"] else "FAIL"
-        print(f"[{status}] {name} ({entry['seconds']}s) "
-              f"{entry.get('error', '')}", flush=True)
+        detail = entry.get("error", "") if not entry["ok"] else " ".join(
+            f"{k}={v}" for k, v in entry.items()
+            if k not in ("ok", "seconds")
+        )
+        print(f"[{status}] {name} ({entry['seconds']}s) {detail}", flush=True)
 
 
 def main() -> int:
