@@ -140,17 +140,16 @@ def decode_key_list(keys_raw: bytes | None, cursor_keys=None):
 
 
 def _lmdb_items(lmdb_path: str):
-    """Iterate a tensorpack LMDBSerializer database (gated on lmdb install);
-    the untestable-without-lmdb part is just this cursor — decode and key
-    ordering live in the pure functions above."""
+    """Iterate a tensorpack LMDBSerializer database.
+
+    Prefers the C ``lmdb`` package when installed; otherwise falls back to
+    :mod:`rfnet_tpu.data.lmdb_pure`, a pure-Python implementation of the
+    LMDB on-disk format — so this path executes for real even where the C
+    package cannot be installed (this environment)."""
     try:
         import lmdb  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover - environment dependent
-        raise ImportError(
-            "reading the PCN .lmdb dataset needs the `lmdb` package; convert "
-            "once with rfnet_tpu.data.convert or use --synthetic / an .npz "
-            "directory instead"
-        ) from e
+    except ImportError:
+        from rfnet_tpu.data import lmdb_pure as lmdb  # noqa: PLC0415
     env = lmdb.open(
         lmdb_path, subdir=os.path.isdir(lmdb_path), readonly=True, lock=False
     )

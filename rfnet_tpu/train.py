@@ -710,6 +710,17 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--ckpt_every", type=int, default=None)
+    p.add_argument(
+        "--innum", type=int, default=None,
+        help="partial-cloud size (reference: 3000). Override together with "
+        "--ptnum/--n_seed/--up_ratio for reduced-shape dress rehearsals",
+    )
+    p.add_argument("--ptnum", type=int, default=None,
+                   help="dense output size; must equal 2*n_seed*up_ratio^2")
+    p.add_argument("--n_seed", type=int, default=None,
+                   help="coarse seed half-count (reference: 32)")
+    p.add_argument("--up_ratio", type=int, default=None,
+                   help="per-stage upsampling factor (reference: 16)")
     p.add_argument("--workdir", default="./modelvv_recon")
     p.add_argument("--mesh", action="store_true", help="data-parallel over all devices")
     p.add_argument(
@@ -743,6 +754,14 @@ def main(argv=None):
         )
 
     config = TrainConfig(workdir=args.workdir)
+    for field in ("innum", "ptnum", "n_seed", "up_ratio"):
+        if getattr(args, field) is not None:
+            config = dataclasses.replace(config, **{field: getattr(args, field)})
+    if config.ptnum != 2 * config.n_seed * config.up_ratio**2:
+        p.error(
+            f"--ptnum {config.ptnum} inconsistent with the 3-step pyramid: "
+            f"2*n_seed*up_ratio^2 = {2 * config.n_seed * config.up_ratio**2}"
+        )
     if args.steps:
         config = dataclasses.replace(config, iters=args.steps)
     if args.batch_size:
