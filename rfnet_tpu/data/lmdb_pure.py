@@ -387,14 +387,20 @@ def _branch_node_bytes(key: bytes, pgno: int) -> bytes:
 def write_lmdb(path: str, items, subdir: bool = False,
                psize: int = 4096) -> dict:
     """Create an LMDB file from (key, value) byte pairs (any order; sorted
-    internally — LMDB's key order is plain memcmp). One transaction, txnid 1.
-    Returns the main-DB stat dict."""
+    internally — LMDB's key order is plain memcmp). Keys must be unique:
+    without MDB_DUPSORT (out of scope) duplicates would shadow each other,
+    so they raise ValueError. One transaction, txnid 1. Returns the main-DB
+    stat dict."""
     pairs = sorted(items)
-    for k, v in pairs:
+    for i, (k, v) in enumerate(pairs):
         if not isinstance(k, bytes) or not isinstance(v, bytes):
             raise TypeError("keys and values must be bytes")
         if not 0 < len(k) <= 511:
             raise ValueError(f"key length {len(k)} outside LMDB's 1..511")
+        if i and pairs[i - 1][0] == k:
+            # without MDB_DUPSORT (out of scope) LMDB keys are unique; two
+            # equal keys would silently shadow each other in search
+            raise ValueError(f"duplicate key {k!r}")
 
     if subdir:
         os.makedirs(path, exist_ok=True)

@@ -255,3 +255,5 @@ def test_writer_rejects_bad_keys(tmp_path):
         write_lmdb(str(tmp_path / "y.lmdb"), [(b"k" * 512, b"v")])
     with pytest.raises(TypeError):
         write_lmdb(str(tmp_path / "z.lmdb"), [("str", b"v")])
+    with pytest.raises(ValueError, match="duplicate key"):
+        write_lmdb(str(tmp_path / "d.lmdb"), [(b"k", b"1"), (b"k", b"2")])
