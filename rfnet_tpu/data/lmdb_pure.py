@@ -125,8 +125,12 @@ class Transaction:
         pgno = env._main.root
         if pgno == P_INVALID:
             return default
-        while True:
+        for _depth in range(64):  # liblmdb trees are <32 deep; cycles raise
             flags, nodes, page_off = env._page(pgno)
+            if not nodes:
+                if flags & P_BRANCH:  # valid branches have >= 2 children
+                    raise LmdbFormatError("empty branch page (corrupt file?)")
+                return default
             if flags & P_LEAF:
                 lo, hi = 0, len(nodes) - 1
                 while lo <= hi:
@@ -152,6 +156,7 @@ class Transaction:
                 else:
                     hi = mid - 1
             pgno = env._branch_pgno(page_off, nodes[child_i])
+        raise LmdbFormatError("B-tree deeper than 64 levels (corrupt file?)")
 
     def cursor(self):
         """Iterate (key, value) in key order over the whole main DB."""
@@ -300,9 +305,13 @@ class Environment:
             raise LmdbFormatError(f"short overflow read at page {pgno}")
         return data
 
-    def _iter_tree(self, pgno: int):
+    def _iter_tree(self, pgno: int, _visited: set | None = None):
         if pgno == P_INVALID:
             return
+        visited = _visited if _visited is not None else set()
+        if pgno in visited:  # corrupt files must fail, not loop
+            raise LmdbFormatError(f"B-tree cycle through page {pgno}")
+        visited.add(pgno)
         flags, ptrs, page = self._page(pgno)
         if flags & P_LEAF:
             for off in ptrs:
@@ -310,7 +319,7 @@ class Environment:
             return
         children = [self._branch_pgno(page, off) for off in ptrs]
         for child in children:
-            yield from self._iter_tree(child)
+            yield from self._iter_tree(child, visited)
 
 
 def open(path: str, subdir: bool = True, readonly: bool = True,
